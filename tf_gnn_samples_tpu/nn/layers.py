@@ -1,0 +1,525 @@
+"""The seven relational message-passing layers, TPU-first.
+
+Numerics contract: each `<name>_apply` reproduces the update equation of the
+reference's `gnns/<name>.py` free function (equations documented at
+ggnn.py:21-25, rgcn.py:26-31, rgat.py:23-33, rgin.py:24-38,
+gnn_edge_mlp.py:24-29, gnn_film.py:22-29, rgdcn.py:27-56), over a padded
+static-shape `GraphBatch` instead of dynamic per-type adjacency lists.
+
+TPU-first design (deliberately NOT a translation):
+
+* Per-edge-type Dense transforms are stacked into single [L, D_in, D_out]
+  tensors and applied to *all nodes at once* with one einsum — one large
+  MXU matmul instead of L small per-edge gathers+matmuls. This is
+  numerically identical (modulo float reassociation) to the reference's
+  L separate `tf.keras.layers.Dense` per-type transforms and follows the
+  trick the reference itself notes for RGAT (gnns/rgat.py:88-91).
+* Messages are materialized per type as gathers from the transformed node
+  tensors, then scatter-aggregated via a single fused `segment_*` over the
+  flat edge set, with padded edges routed to a dump row (see ops/graph.py).
+* Weights are shared across `num_timesteps` repetitions, matching the
+  reference (layers built once outside the timestep loop).
+
+Each layer is a pair of pure functions:
+    <name>_init(key, num_edge_types, state_dim, **cfg) -> params (pytree)
+    <name>_apply(params, graph: GraphBatch, h: [N, D], **cfg) -> [N, D]
+"""
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from .. import SMALL_NUMBER
+from ..ops.graph import GraphBatch
+from ..ops.segment import get_aggregation_function, segment_softmax, segment_sum
+from .activations import get_activation
+from .cells import cell_apply, cell_init
+from .initializers import stacked_glorot_uniform, truncated_normal
+from .normalization import layer_norm, layer_norm_init
+
+
+# --------------------------------------------------------------------------
+# Shared helpers
+# --------------------------------------------------------------------------
+
+def typed_transform(h, W):
+    """All-type node transform: [N, D_in] x [L, D_in, D_out] -> [L, N, D_out]."""
+    return jnp.einsum("nd,lde->lne", h, W, preferred_element_type=jnp.float32)
+
+
+def gather_rows(table, idx):
+    """table[idx] with out-of-range indices clipped (padded receivers point
+    at the dump row n_pad, one past the end of node-indexed tables)."""
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
+def aggregate(messages: List[jnp.ndarray], graph: GraphBatch, aggregation: str):
+    """Scatter-aggregate per-type message lists into [n_pad, D].
+
+    Padded edges carry receiver == n_pad, so aggregating into n_pad + 1
+    segments and slicing off the dump row is exact for every aggregator
+    (replaces tf.unsorted_segment_* over dynamic shapes,
+    e.g. gnns/rgcn.py:108-112).
+    """
+    msgs = jnp.concatenate(messages, axis=0)
+    rcvs = jnp.concatenate([e.receivers for e in graph.edges], axis=0)
+    agg_fn = get_aggregation_function(aggregation)
+    out = agg_fn(msgs, rcvs, graph.n_pad + 1)
+    return out[: graph.n_pad]
+
+
+def normalize_by_incoming(messages, edge_block, counts_l):
+    """1/c_{v,l} message scaling (reference: gnns/rgcn.py:100-104)."""
+    c = jnp.take(counts_l, edge_block.receivers, mode="clip")
+    return messages * (1.0 / (c + SMALL_NUMBER))[:, None]
+
+
+def _typed_linear_messages(h, W, graph, concat_target=False):
+    """Per-type linear messages gathered per edge.
+
+    With concat_target, implements Dense(concat(h_src, h_tgt)) by splitting
+    the [L, 2D, D_out] weight into source/target halves — linearity makes
+    the split exact while keeping both matmuls node-sided on the MXU.
+    Returns list of L arrays [E_l, D_out].
+    """
+    if concat_target:
+        d = h.shape[-1]
+        t_src = typed_transform(h, W[:, :d, :])
+        t_tgt = typed_transform(h, W[:, d:, :])
+        return [
+            gather_rows(t_src[l], e.senders) + gather_rows(t_tgt[l], e.receivers)
+            for l, e in enumerate(graph.edges)
+        ]
+    t = typed_transform(h, W)
+    return [gather_rows(t[l], e.senders) for l, e in enumerate(graph.edges)]
+
+
+def _per_edge_dense(messages: List[jnp.ndarray], W):
+    """Apply a stacked [L, D_in, D_out] weight per-edge (post-nonlinearity
+    MLP layers, where the node-side trick no longer applies)."""
+    return [
+        jnp.dot(m, W[l], preferred_element_type=jnp.float32)
+        for l, m in enumerate(messages)
+    ]
+
+
+# --------------------------------------------------------------------------
+# GGNN (reference: gnns/ggnn.py)
+# --------------------------------------------------------------------------
+
+def ggnn_init(key, num_edge_types, state_dim, gated_unit_type="gru", **_):
+    k1, k2 = jax.random.split(key)
+    return {
+        "W": stacked_glorot_uniform(k1, num_edge_types, (state_dim, state_dim)),
+        "cell": cell_init(k2, gated_unit_type, state_dim),
+    }
+
+
+def ggnn_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    gated_unit_type="gru",
+    activation_function="tanh",
+    message_aggregation_function="sum",
+    **_,
+):
+    """h' = Cell(input=aggregated_messages, state=h) — note the reference
+    feeds messages as the RNN *input* and node state as the *hidden state*
+    (gnns/ggnn.py:92)."""
+    c = None
+    for _step in range(num_timesteps):
+        msgs = _typed_linear_messages(h, params["W"], graph)
+        agg = aggregate(msgs, graph, message_aggregation_function)
+        h, c = cell_apply(
+            params["cell"], gated_unit_type, agg, h, activation_function, c
+        )
+    return h
+
+
+# --------------------------------------------------------------------------
+# RGCN (reference: gnns/rgcn.py)
+# --------------------------------------------------------------------------
+
+def rgcn_init(
+    key, num_edge_types, state_dim, use_both_source_and_target=False, **_
+):
+    in_dim = 2 * state_dim if use_both_source_and_target else state_dim
+    return {"W": stacked_glorot_uniform(key, num_edge_types, (in_dim, state_dim))}
+
+
+def rgcn_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    activation_function="tanh",
+    message_aggregation_function="sum",
+    normalize_by_num_incoming=True,
+    use_both_source_and_target=False,
+    **_,
+):
+    act = get_activation(activation_function)
+    for _step in range(num_timesteps):
+        msgs = _typed_linear_messages(
+            h, params["W"], graph, concat_target=use_both_source_and_target
+        )
+        if normalize_by_num_incoming:
+            msgs = [
+                normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
+                for l, (m, e) in enumerate(zip(msgs, graph.edges))
+            ]
+        h = act(aggregate(msgs, graph, message_aggregation_function))
+    return h
+
+
+# --------------------------------------------------------------------------
+# RGAT (reference: gnns/rgat.py)
+# --------------------------------------------------------------------------
+
+def rgat_init(key, num_edge_types, state_dim, num_heads=4, **_):
+    k1, k2 = jax.random.split(key)
+    # Reference declares attention params as a flat (2*D,) glorot-initialized
+    # vector per type, later reshaped to [K, 2*D/K] (rgat.py:74-76, 110-111).
+    limit = jnp.sqrt(6.0 / (2 * 2 * state_dim))
+    att = jax.random.uniform(
+        k2, (num_edge_types, 2 * state_dim), minval=-limit, maxval=limit
+    )
+    return {
+        "W": stacked_glorot_uniform(k1, num_edge_types, (state_dim, state_dim)),
+        "att": att,
+    }
+
+
+def rgat_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    num_heads=4,
+    activation_function="tanh",
+    **_,
+):
+    state_dim = h.shape[-1]
+    head_dim = state_dim // num_heads
+    L = graph.num_edge_types
+    n_pad = graph.n_pad
+    act = get_activation(activation_function)
+    # att[l] flat (2D,) -> per-head source/target halves [L, K, Dh]:
+    att = params["att"].reshape(L, num_heads, 2 * head_dim)
+    att_src, att_tgt = att[..., :head_dim], att[..., head_dim:]
+
+    for _step in range(num_timesteps):
+        t = typed_transform(h, params["W"])  # [L, N, D]
+        t_heads = t.reshape(L, n_pad, num_heads, head_dim)
+        # Node-side halves of the attention logits (linearity of the dot
+        # with concat(src, tgt) makes this exact):
+        logit_src = jnp.einsum("lnkd,lkd->lnk", t_heads, att_src)
+        logit_tgt = jnp.einsum("lnkd,lkd->lnk", t_heads, att_tgt)
+
+        per_type_logits, per_type_msgs = [], []
+        for l, e in enumerate(graph.edges):
+            logits = jax.nn.leaky_relu(
+                gather_rows(logit_src[l], e.senders)
+                + gather_rows(logit_tgt[l], e.receivers),
+                negative_slope=0.2,  # tf.nn.leaky_relu default (rgat.py:113)
+            )  # [E_l, K]
+            per_type_logits.append(logits)
+            per_type_msgs.append(gather_rows(t_heads[l], e.senders))  # [E_l, K, Dh]
+
+        all_logits = jnp.concatenate(per_type_logits, axis=0)  # [M, K]
+        all_msgs = jnp.concatenate(per_type_msgs, axis=0)  # [M, K, Dh]
+        rcvs = jnp.concatenate([e.receivers for e in graph.edges], axis=0)
+        # Softmax per (target node, head) over all incoming edges of all
+        # types (rgat.py:126-130); padded edges live in the dump segment.
+        attn = segment_softmax(all_logits, rcvs, n_pad + 1)  # [M, K]
+        weighted = all_msgs * attn[..., None]
+        agg = segment_sum(weighted, rcvs, n_pad + 1)[:n_pad]  # [N, K, Dh]
+        h = act(agg.reshape(n_pad, state_dim))
+    return h
+
+
+# --------------------------------------------------------------------------
+# GNN-FiLM (reference: gnns/gnn_film.py)
+# --------------------------------------------------------------------------
+
+def gnn_film_init(key, num_edge_types, state_dim, **_):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "W": stacked_glorot_uniform(k1, num_edge_types, (state_dim, state_dim)),
+        "W_film": stacked_glorot_uniform(
+            k2, num_edge_types, (state_dim, 2 * state_dim)
+        ),
+        "ln": layer_norm_init(state_dim),
+    }
+
+
+def gnn_film_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    activation_function="relu",
+    message_aggregation_function="sum",
+    normalize_by_num_incoming=False,
+    **_,
+):
+    act = get_activation(activation_function)
+    d = h.shape[-1]
+    for _step in range(num_timesteps):
+        t = typed_transform(h, params["W"])  # [L, N, D]
+        film = typed_transform(h, params["W_film"])  # [L, N, 2D]
+        msgs = []
+        for l, e in enumerate(graph.edges):
+            m = gather_rows(t[l], e.senders)
+            if normalize_by_num_incoming:
+                m = normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
+            gb = gather_rows(film[l], e.receivers)  # FiLM from *target* state
+            gamma, beta = gb[:, :d], gb[:, d:]
+            msgs.append(gamma * m + beta)
+        msgs = [act(m) for m in msgs]  # activation on messages (film.py:112)
+        agg = aggregate(msgs, graph, message_aggregation_function)
+        h = layer_norm(params["ln"], agg)  # unconditional LN (film.py:120)
+    return h
+
+
+# --------------------------------------------------------------------------
+# RGIN (reference: gnns/rgin.py)
+# --------------------------------------------------------------------------
+
+def rgin_init(
+    key,
+    num_edge_types,
+    state_dim,
+    use_target_state_as_input=False,
+    num_edge_MLP_hidden_layers=1,
+    num_aggr_MLP_hidden_layers=None,
+    **_,
+):
+    keys = jax.random.split(key, 4)
+    params = {"ln": layer_norm_init(state_dim)}
+    if num_edge_MLP_hidden_layers is not None:
+        in_dim = 2 * state_dim if use_target_state_as_input else state_dim
+        sizes = [in_dim] + [state_dim] * (num_edge_MLP_hidden_layers + 1)
+        wkeys = jax.random.split(keys[0], len(sizes) - 1)
+        params["edge_mlp"] = [
+            stacked_glorot_uniform(k, num_edge_types, (d_in, d_out))
+            for k, d_in, d_out in zip(wkeys, sizes[:-1], sizes[1:])
+        ]
+    if num_aggr_MLP_hidden_layers is not None:
+        from .mlp import mlp_init
+
+        params["aggr_mlp"] = mlp_init(
+            keys[1], state_dim, state_dim, num_aggr_MLP_hidden_layers
+        )
+    return params
+
+
+def _typed_mlp_messages(h, weights, graph, concat_target, inner_act):
+    """Stacked per-type MLP on edge inputs: first linear layer node-sided,
+    later layers per-edge. `weights` = list of [L, D_in, D_out]."""
+    msgs = _typed_linear_messages(h, weights[0], graph, concat_target=concat_target)
+    for W in weights[1:]:
+        msgs = [inner_act(m) for m in msgs]
+        msgs = _per_edge_dense(msgs, W)
+    return msgs
+
+
+def rgin_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    activation_function="relu",
+    message_aggregation_function="sum",
+    use_target_state_as_input=False,
+    num_edge_MLP_hidden_layers=1,
+    num_aggr_MLP_hidden_layers=None,
+    **_,
+):
+    act = get_activation(activation_function)
+    for _step in range(num_timesteps):
+        if num_edge_MLP_hidden_layers is not None:
+            msgs = _typed_mlp_messages(
+                h, params["edge_mlp"], graph, use_target_state_as_input, act
+            )
+            msgs = [act(m) for m in msgs]  # act on MLP outputs (rgin.py:128-129)
+        else:
+            msgs = [gather_rows(h, e.senders) for e in graph.edges]
+        agg = aggregate(msgs, graph, message_aggregation_function)
+        if num_aggr_MLP_hidden_layers is not None:
+            from .mlp import mlp_apply
+
+            agg = mlp_apply(params["aggr_mlp"], agg, act)
+        h = layer_norm(params["ln"], act(agg))  # act + unconditional LN
+    return h
+
+
+# --------------------------------------------------------------------------
+# GNN-Edge-MLP (reference: gnns/gnn_edge_mlp.py)
+# --------------------------------------------------------------------------
+
+def gnn_edge_mlp_init(
+    key,
+    num_edge_types,
+    state_dim,
+    use_target_state_as_input=True,
+    num_edge_hidden_layers=1,
+    **_,
+):
+    in_dim = 2 * state_dim if use_target_state_as_input else state_dim
+    sizes = [in_dim] + [state_dim] * (num_edge_hidden_layers + 1)
+    wkeys = jax.random.split(key, len(sizes) - 1)
+    return {
+        "edge_mlp": [
+            stacked_glorot_uniform(k, num_edge_types, (d_in, d_out))
+            for k, d_in, d_out in zip(wkeys, sizes[:-1], sizes[1:])
+        ],
+        "ln": layer_norm_init(state_dim),
+    }
+
+
+def gnn_edge_mlp_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    activation_function="relu",
+    message_aggregation_function="sum",
+    normalize_by_num_incoming=False,
+    use_target_state_as_input=True,
+    num_edge_hidden_layers=1,
+    **_,
+):
+    act = get_activation(activation_function)
+    elu = get_activation("elu")  # MLP inner activation is fixed elu (·:73-77)
+    for _step in range(num_timesteps):
+        msgs = _typed_mlp_messages(
+            h, params["edge_mlp"], graph, use_target_state_as_input, elu
+        )
+        if normalize_by_num_incoming:
+            msgs = [
+                normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
+                for l, (m, e) in enumerate(zip(msgs, graph.edges))
+            ]
+        msgs = [act(m) for m in msgs]  # activation on messages (·:112)
+        agg = aggregate(msgs, graph, message_aggregation_function)
+        h = layer_norm(params["ln"], agg)  # unconditional LN (·:119)
+    return h
+
+
+# --------------------------------------------------------------------------
+# RGDCN (reference: gnns/rgdcn.py)
+# --------------------------------------------------------------------------
+
+def rgdcn_init(
+    key,
+    num_edge_types,
+    state_dim,
+    num_channels=8,
+    channel_dim=None,
+    use_full_state_for_channel_weights=False,
+    tie_channel_weights=False,
+    **_,
+):
+    if channel_dim is None:
+        channel_dim = state_dim // num_channels
+    c_eff = 1 if tie_channel_weights else num_channels
+    in_dim = state_dim if use_full_state_for_channel_weights else channel_dim
+    keys = jax.random.split(key, (num_edge_types, c_eff))
+    # Truncated-normal stddev 1/K^2 kernels computing K x K dynamic
+    # convolutions from the target node state (rgdcn.py:99-104).
+    W = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    truncated_normal(
+                        keys[l, c],
+                        (in_dim, channel_dim * channel_dim),
+                        stddev=1.0 / (channel_dim**2),
+                    )
+                    for c in range(c_eff)
+                ]
+            )
+            for l in range(num_edge_types)
+        ]
+    )  # [L, C_eff, in_dim, K*K]
+    return {"W_wc": W}
+
+
+def rgdcn_apply(
+    params,
+    graph: GraphBatch,
+    h,
+    *,
+    num_timesteps=1,
+    num_channels=8,
+    channel_dim=None,
+    use_full_state_for_channel_weights=False,
+    tie_channel_weights=False,
+    activation_function="relu",
+    message_aggregation_function="sum",
+    normalize_by_num_incoming=True,
+    **_,
+):
+    n_pad = graph.n_pad
+    if channel_dim is None:
+        channel_dim = h.shape[-1] // num_channels
+    act = get_activation(activation_function)
+    W_wc = params["W_wc"]
+    agg_fn = get_aggregation_function(message_aggregation_function)
+    rcvs = jnp.concatenate([e.receivers for e in graph.edges], axis=0)
+
+    for _step in range(num_timesteps):
+        h_chunked = h.reshape(n_pad, num_channels, channel_dim)
+        new_channels = []
+        for c in range(num_channels):
+            c_eff = 0 if tie_channel_weights else c
+            ch_state = h_chunked[:, c, :]  # [N, K]
+            wc_in = h if use_full_state_for_channel_weights else ch_state
+            msgs = []
+            for l, e in enumerate(graph.edges):
+                # Dynamic K x K kernel at each node; note the reference
+                # applies the activation *to the kernel entries* via the
+                # Dense layer's activation arg (rgdcn.py:99-104).
+                kernels = act(
+                    jnp.dot(
+                        wc_in, W_wc[l, c_eff], preferred_element_type=jnp.float32
+                    )
+                ).reshape(n_pad, channel_dim, channel_dim)
+                kern_e = gather_rows(kernels, e.receivers)  # kernel at *target*
+                src = gather_rows(ch_state, e.senders)
+                m = jnp.einsum(
+                    "ek,ekj->ej", src, kern_e, preferred_element_type=jnp.float32
+                )
+                if normalize_by_num_incoming:
+                    m = normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
+                msgs.append(m)
+            cat = jnp.concatenate(msgs, axis=0)
+            agg = agg_fn(cat, rcvs, n_pad + 1)[:n_pad]
+            new_channels.append(act(agg))
+        h = jnp.concatenate(new_channels, axis=1)
+    return h
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+LAYERS = {
+    "ggnn": (ggnn_init, ggnn_apply),
+    "rgcn": (rgcn_init, rgcn_apply),
+    "rgat": (rgat_init, rgat_apply),
+    "rgin": (rgin_init, rgin_apply),
+    "gnn_edge_mlp": (gnn_edge_mlp_init, gnn_edge_mlp_apply),
+    "gnn_film": (gnn_film_init, gnn_film_apply),
+    "rgdcn": (rgdcn_init, rgdcn_apply),
+}

@@ -1,0 +1,174 @@
+"""Static-shape batched graph representation.
+
+The reference feeds fully-dynamic shapes per batch through TF1 placeholders
+(tasks/sparse_graph_task.py:139-149: `initial_node_features [V, D]`,
+L x `adjacency_lists [E, 2]`, `type_to_num_incoming_edges [L, V]`).
+That is hostile to XLA/TPU, which traces and compiles per shape.
+
+TPU-first design decisions:
+
+* Nodes are padded to `n_pad` and edges of each type to a per-type
+  `e_pad[l]` drawn from a small set of bucket sizes, so recompilation
+  happens per *bucket*, not per batch.
+* Padded edges point their receiver at a dedicated dump row `n_pad`;
+  aggregations run with `num_segments = n_pad + 1` and the dump row is
+  sliced off. This makes sum/max/mean/sqrt_n and segment-softmax all
+  padding-safe with zero masking logic in the hot path.
+* Padded edges point their sender at row 0 (any valid row) so gathers
+  stay in-bounds; their values are rendered irrelevant by the dump row.
+* Padded nodes belong to dump graph `g_pad` for per-graph pooling.
+
+Shape legend: N = n_pad (padded node count), E_l = padded edge count of
+type l, L = number of edge types, G = g_pad (padded graph count).
+"""
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+class EdgeBlock(NamedTuple):
+    """All edges of one edge type, padded to a static size.
+
+    Equivalent information to one reference `adjacency_lists[l]` [E, 2]
+    int32 tensor (senders in column 0, receivers in column 1; see
+    tasks/sparse_graph_task.py:123-127).
+    """
+
+    senders: jnp.ndarray  # [E_l] int32; padding -> 0
+    receivers: jnp.ndarray  # [E_l] int32; padding -> n_pad (dump row)
+    mask: jnp.ndarray  # [E_l] float32; 1.0 = real edge
+
+
+class GraphBatch(NamedTuple):
+    """A batch of disconnected graphs packed into one padded mega-graph.
+
+    Carries the same information as the reference's batch contract
+    (tasks/sparse_graph_task.py:120-131 plus the per-task
+    `graph_nodes_list`), in static shapes.
+    """
+
+    node_features: jnp.ndarray  # [N, F] float32; padding rows -> 0
+    node_mask: jnp.ndarray  # [N] float32; 1.0 = real node
+    node_graph_ids: jnp.ndarray  # [N] int32 in [0, G]; padding -> G (dump)
+    edges: Tuple[EdgeBlock, ...]  # L static-length tuple
+    typed_incoming_counts: jnp.ndarray  # [L, N] float32 (c_{v,l})
+    graph_mask: jnp.ndarray  # [G] float32; 1.0 = real graph
+    num_graphs: jnp.ndarray  # [] int32, real graph count
+    num_nodes: jnp.ndarray  # [] int32, real node count
+
+    @property
+    def n_pad(self) -> int:
+        return self.node_features.shape[0]
+
+    @property
+    def g_pad(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def num_edge_types(self) -> int:
+        return len(self.edges)
+
+
+def bucket_size(n: int, min_size: int = 128, buckets_per_octave: int = 4) -> int:
+    """Round `n` up to a bucket boundary.
+
+    Buckets are `buckets_per_octave` geometrically-ish spaced sizes per
+    power of two, so padding waste is bounded (<= 1/buckets_per_octave)
+    while the number of distinct compiled shapes stays small.
+    """
+    if n <= min_size:
+        return min_size
+    po2 = 1 << (int(n - 1).bit_length() - 1)  # largest power of two <= n-1... base
+    step = max(min_size, po2 // buckets_per_octave)
+    return -(-n // step) * step
+
+
+def pad_graph_batch(
+    node_features: np.ndarray,
+    adjacency_lists: Sequence[np.ndarray],
+    node_graph_ids: np.ndarray,
+    num_graphs: int,
+    *,
+    n_pad: Optional[int] = None,
+    e_pads: Optional[Sequence[int]] = None,
+    g_pad: Optional[int] = None,
+    typed_incoming_counts: Optional[np.ndarray] = None,
+) -> GraphBatch:
+    """Build a padded GraphBatch from host-side numpy arrays.
+
+    Args:
+        node_features: [n, F] real node features.
+        adjacency_lists: L arrays of shape [e_l, 2] int (sender, receiver),
+            exactly the reference's adjacency contract.
+        node_graph_ids: [n] int graph index per node (reference:
+            `graph_nodes_list`, e.g. tasks/ppi_task.py:224-226).
+        num_graphs: real number of graphs in the batch.
+        n_pad / e_pads / g_pad: static target sizes; default = bucketed.
+        typed_incoming_counts: optional precomputed [L, n] counts; computed
+            from the adjacency lists when absent (reference computes these
+            during data loading, e.g. tasks/qm9_task.py:117-127).
+    """
+    n = int(node_features.shape[0])
+    L = len(adjacency_lists)
+    if n_pad is None:
+        n_pad = bucket_size(n)
+    assert n_pad >= n, (n_pad, n)
+    if e_pads is None:
+        e_pads = [bucket_size(int(a.shape[0])) for a in adjacency_lists]
+    if g_pad is None:
+        g_pad = bucket_size(max(int(num_graphs), 1), min_size=16)
+
+    feats = np.zeros((n_pad, node_features.shape[1]), dtype=np.float32)
+    feats[:n] = node_features
+    node_mask = np.zeros((n_pad,), dtype=np.float32)
+    node_mask[:n] = 1.0
+    gids = np.full((n_pad,), g_pad, dtype=np.int32)
+    gids[:n] = node_graph_ids
+
+    if typed_incoming_counts is None:
+        typed_incoming_counts = np.zeros((L, n), dtype=np.float32)
+        for l, adj in enumerate(adjacency_lists):
+            if adj.shape[0]:
+                np.add.at(typed_incoming_counts[l], adj[:, 1].astype(np.int64), 1.0)
+    counts = np.zeros((L, n_pad), dtype=np.float32)
+    counts[:, :n] = typed_incoming_counts
+
+    edges = []
+    for l, adj in enumerate(adjacency_lists):
+        e = int(adj.shape[0])
+        e_pad = int(e_pads[l])
+        assert e_pad >= e, (l, e_pad, e)
+        snd = np.zeros((e_pad,), dtype=np.int32)
+        rcv = np.full((e_pad,), n_pad, dtype=np.int32)
+        msk = np.zeros((e_pad,), dtype=np.float32)
+        if e:
+            snd[:e] = adj[:, 0]
+            rcv[:e] = adj[:, 1]
+            msk[:e] = 1.0
+        edges.append(EdgeBlock(senders=snd, receivers=rcv, mask=msk))
+
+    graph_mask = np.zeros((g_pad,), dtype=np.float32)
+    graph_mask[:num_graphs] = 1.0
+
+    return GraphBatch(
+        node_features=feats,
+        node_mask=node_mask,
+        node_graph_ids=gids,
+        edges=tuple(edges),
+        typed_incoming_counts=counts,
+        graph_mask=graph_mask,
+        num_graphs=np.int32(num_graphs),
+        num_nodes=np.int32(n),
+    )
+
+
+def batch_static_shape(batch: GraphBatch) -> Tuple:
+    """Hashable static-shape signature (used to count/bucket recompiles)."""
+    return (
+        batch.node_features.shape,
+        tuple(e.senders.shape[0] for e in batch.edges),
+        batch.graph_mask.shape[0],
+    )
