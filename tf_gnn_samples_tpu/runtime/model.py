@@ -1,0 +1,653 @@
+"""Training runtime: the model layer of the framework.
+
+Capability-parity with the reference's abstract `Sparse_Graph_Model`
+(models/sparse_graph_model.py:16-384) and its 7 concrete subclasses
+(models/*.py): default hyperparameters, model assembly (task input model ->
+shared propagation stack -> task output model), optimizer construction with
+per-tensor gradient clipping and optional per-batch LR normalization,
+epoch driver with throughput telemetry, patience-based early stopping with
+best-checkpoint pickling, weight save/load with fresh-init of unmatched
+entries, and the exact log-line format the reference bench scripts regex
+(run_ppi_benchs.py:21-22).
+
+TPU-first re-design (NOT a port):
+
+* No tf.Graph/Session. The whole forward+backward+update is ONE jitted
+  function over a static-shape `TaskBatch` pytree, with donated params and
+  optimizer state (zero-copy update on device).
+* Dropout via explicit jax PRNG threading; a train step consumes one fold
+  of a counter-based key so runs are reproducible per seed.
+* Host-side batch packing overlaps device compute via ThreadedIterator;
+  metric scalars stay on device until epoch end (async dispatch).
+"""
+
+import os
+import pickle
+import random
+import time
+from abc import ABC
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import LAYERS
+from ..nn.propagation import propagation_apply, propagation_init
+from ..tasks.base import DataFold, SparseGraphTask, TaskBatch
+from ..utils.iterators import ThreadedIterator
+from .optimizers import clip_grads_per_tensor, make_optimizer
+
+
+def flatten_params(params, prefix="") -> Dict[str, np.ndarray]:
+    """Pytree -> {path: ndarray}, the checkpoint weight format (analogous to
+    the reference's variable-name keyed dict, sparse_graph_model.py:91-107)."""
+    flat = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in leaves_with_paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_like(template, weights: Dict[str, np.ndarray]):
+    """Rebuild a pytree shaped like `template` from {path: ndarray}; entries
+    missing from `weights` keep the template's (freshly-initialized) value,
+    matching the reference's partial-restore behavior
+    (sparse_graph_model.py:109-126)."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    used = set()
+    for path, leaf in paths_and_leaves:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key in weights:
+            saved = np.asarray(weights[key])
+            assert saved.shape == leaf.shape, (key, saved.shape, leaf.shape)
+            new_leaves.append(jnp.asarray(saved, dtype=leaf.dtype))
+            used.add(key)
+        else:
+            print("Freshly initializing %s since no saved value was found." % key)
+            new_leaves.append(leaf)
+    for key in weights:
+        if key not in used:
+            print("Saved weights for %s not used by model." % key)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class SparseGraphModel(ABC):
+    """Abstract model: training loop + propagation stack around task heads."""
+
+    layer_name: str = ""  # key into nn.layers.LAYERS
+
+    @classmethod
+    def default_params(cls):
+        # Reference defaults: models/sparse_graph_model.py:22-45.
+        return {
+            "max_nodes_in_batch": 50000,
+            "graph_num_layers": 8,
+            "graph_num_timesteps_per_layer": 1,
+            "graph_layer_input_dropout_keep_prob": 0.8,
+            "graph_dense_between_every_num_gnn_layers": 1,
+            "graph_model_activation_function": "tanh",
+            "graph_residual_connection_every_num_layers": 2,
+            "graph_inter_layer_norm": False,
+            "max_epochs": 10000,
+            "patience": 25,
+            "optimizer": "Adam",
+            "learning_rate": 0.001,
+            "learning_rate_decay": 0.98,
+            "lr_for_num_graphs_per_batch": None,
+            "momentum": 0.85,
+            "clamp_gradient_norm": 1.0,
+            "random_seed": 0,
+        }
+
+    @staticmethod
+    def name(params: Dict[str, Any]) -> str:
+        raise NotImplementedError()
+
+    def layer_kwargs(self) -> Dict[str, Any]:
+        """Static per-layer config drawn from params (the reference's
+        _apply_gnn_layer argument plumbing, e.g. models/rgcn_model.py:31-44)."""
+        return {}
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        task: SparseGraphTask,
+        run_id: str,
+        result_dir: str,
+    ) -> None:
+        self.params = params
+        self.task = task
+        self.run_id = run_id
+        self.result_dir = result_dir
+
+        seed = params["random_seed"]
+        random.seed(seed)
+        np.random.seed(seed)
+        self._root_key = jax.random.PRNGKey(seed)
+        self._optimizer = make_optimizer(params)
+        self._step_rng = np.random.RandomState(seed)
+
+        self.model_params_tree = self._init_params()
+        self.opt_state = self._optimizer.init(self.model_params_tree)
+        self._jitted_train_step = None
+        self._jitted_eval_step = None
+
+    # -------------------- files --------------------
+
+    @property
+    def log_file(self):
+        return os.path.join(self.result_dir, "%s.log" % self.run_id)
+
+    @property
+    def best_model_file(self):
+        return os.path.join(self.result_dir, "%s_best_model.pickle" % self.run_id)
+
+    # -------------------- parameter init --------------------
+
+    def _init_params(self):
+        key = self._root_key
+        k_in, k_prop, k_out = jax.random.split(key, 3)
+        layer_init, _ = LAYERS[self.layer_name]
+        prop = propagation_init(
+            k_prop,
+            self.params,
+            self.task.num_edge_types,
+            self.task.initial_node_feature_size,
+            self.layer_name,
+            self.layer_kwargs(),
+        )
+        return {
+            "input": self.task.input_init(k_in),
+            "prop": prop,
+            "output": self.task.output_init(k_out, self.params["hidden_size"]),
+        }
+
+    def initialize_model(self) -> None:
+        """Kept for API parity (reference initialize_model,
+        sparse_graph_model.py:85-89); params are initialized in __init__."""
+
+    # -------------------- forward --------------------
+
+    def _forward(self, params, batch: TaskBatch, rng):
+        """Task input model -> propagation stack -> task output model
+        (the reference's __make_model sandwich, sparse_graph_model.py:129-160).
+        rng=None means eval (no dropout)."""
+        if rng is not None:
+            rng_in, rng_prop, rng_out = jax.random.split(rng, 3)
+        else:
+            rng_in = rng_prop = rng_out = None
+        feats = self.task.input_apply(params["input"], batch, rng_in)
+        final_h = propagation_apply(
+            params["prop"],
+            self.params,
+            batch.graph,
+            feats,
+            self.layer_name,
+            self.layer_kwargs(),
+            rng=rng_prop,
+        )
+        loss, metrics = self.task.output_apply(
+            params["output"], batch, final_h, feats, rng_out
+        )
+        return loss, metrics
+
+    # -------------------- jitted steps --------------------
+
+    def _effective_lr(self, num_graphs):
+        lr = self.params["learning_rate"]
+        per_batch = self.params.get("lr_for_num_graphs_per_batch")
+        if per_batch is not None:
+            # LR-per-graph normalization (sparse_graph_model.py:232-239).
+            lr = lr * num_graphs.astype(jnp.float32) / float(per_batch)
+        return lr
+
+    def _make_train_step(self):
+        def step(params, opt_state, rng, batch: TaskBatch):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: self._forward(p, batch, rng), has_aux=True
+            )(params)
+            grads = clip_grads_per_tensor(grads, self.params["clamp_gradient_norm"])
+            lr = self._effective_lr(batch.graph.num_graphs)
+            new_params, new_opt_state = self._optimizer.update(
+                grads, opt_state, params, lr
+            )
+            return new_params, new_opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _make_eval_step(self):
+        def step(params, batch: TaskBatch):
+            _, metrics = self._forward(params, batch, None)
+            return metrics
+
+        return jax.jit(step)
+
+    # -------------------- save / load --------------------
+
+    def save_model(self, path: str) -> None:
+        data_to_save = {
+            "model_class": self.name(self.params),
+            "task_class": self.task.name(),
+            "model_params": self.params,
+            "task_params": self.task.params,
+            "task_metadata": self.task.get_metadata(),
+            "weights": flatten_params(self.model_params_tree),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(data_to_save, f, pickle.HIGHEST_PROTOCOL)
+
+    def load_weights(self, weights: Dict[str, np.ndarray]) -> None:
+        self.model_params_tree = unflatten_like(self.model_params_tree, weights)
+        self.opt_state = self._optimizer.init(self.model_params_tree)
+
+    # -------------------- epoch driver --------------------
+
+    def log_line(self, msg: str) -> None:
+        os.makedirs(self.result_dir, exist_ok=True)
+        with open(self.log_file, "a") as f:
+            f.write(msg + "\n")
+        print(msg)
+
+    def _device_batch(self, batch: TaskBatch) -> TaskBatch:
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def _run_epoch(
+        self,
+        epoch_name: str,
+        data: Iterable[Any],
+        data_fold: DataFold,
+        quiet: bool = False,
+    ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        batch_iterator = self.task.make_minibatch_iterator(
+            data, data_fold, self.params["max_nodes_in_batch"]
+        )
+        batch_iterator = ThreadedIterator(batch_iterator, max_queue_size=5)
+
+        if self._jitted_train_step is None:
+            self._jitted_train_step = self._make_train_step()
+            self._jitted_eval_step = self._make_eval_step()
+
+        task_metric_results = []
+        start_time = time.time()
+        processed_graphs = processed_nodes = processed_edges = 0
+        device_metrics: List[Dict[str, Any]] = []
+        batch_graph_counts: List[int] = []
+
+        for step_i, batch in enumerate(batch_iterator):
+            processed_graphs += batch.num_graphs
+            processed_nodes += batch.num_nodes
+            processed_edges += batch.num_edges
+            dev_batch = self._device_batch(batch)
+            if data_fold == DataFold.TRAIN:
+                rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
+                self.model_params_tree, self.opt_state, metrics = (
+                    self._jitted_train_step(
+                        self.model_params_tree, self.opt_state, rng, dev_batch
+                    )
+                )
+            else:
+                metrics = self._jitted_eval_step(self.model_params_tree, dev_batch)
+            device_metrics.append(metrics)
+            batch_graph_counts.append(batch.num_graphs)
+            if not quiet and step_i % 16 == 0:
+                print(
+                    "Running %s, batch %i (has %i graphs)."
+                    % (epoch_name, step_i, batch.num_graphs),
+                    end="\r",
+                )
+
+        assert processed_graphs > 0, "Can't run epoch over empty dataset."
+        # Single host sync at epoch end: fetch all metric scalars at once.
+        host_metrics = jax.device_get(device_metrics)
+        task_metric_results = [
+            {k: np.asarray(v) for k, v in m.items()} for m in host_metrics
+        ]
+        epoch_loss = float(
+            sum(
+                float(m["loss"]) * n
+                for m, n in zip(task_metric_results, batch_graph_counts)
+            )
+        )
+
+        epoch_time = time.time() - start_time
+        per_graph_loss = epoch_loss / processed_graphs
+        graphs_per_sec = processed_graphs / epoch_time
+        nodes_per_sec = processed_nodes / epoch_time
+        edges_per_sec = processed_edges / epoch_time
+        return (
+            per_graph_loss,
+            task_metric_results,
+            processed_graphs,
+            graphs_per_sec,
+            nodes_per_sec,
+            edges_per_sec,
+        )
+
+    # -------------------- train / test --------------------
+
+    def train(self, quiet: bool = False, tf_summary_path: Optional[str] = None):
+        """Patience-based early-stopped training; log format kept verbatim
+        (the bench scripts regex these lines, run_ppi_benchs.py:21-22,49-56)."""
+        total_time_start = time.time()
+        metrics_writer = None
+        if tf_summary_path is not None:
+            from ..utils.metrics_writer import MetricsWriter
+
+            metrics_writer = MetricsWriter(tf_summary_path)
+
+        best_valid_metric, best_val_metric_epoch, best_val_metric_descr = (
+            float("+inf"), 0, "",
+        )
+        for epoch in range(1, self.params["max_epochs"] + 1):
+            self.log_line("== Epoch %i" % epoch)
+            (train_loss, train_task_metrics, train_num_graphs,
+             train_graphs_p_s, train_nodes_p_s, train_edges_p_s) = self._run_epoch(
+                "epoch %i (training)" % epoch,
+                self.task._loaded_data[DataFold.TRAIN],
+                DataFold.TRAIN,
+                quiet=quiet,
+            )
+            if not quiet:
+                print("\r\x1b[K", end="")
+            self.log_line(
+                " Train: loss: %.5f || %s || graphs/sec: %.2f | nodes/sec: %.0f | edges/sec: %.0f"
+                % (
+                    train_loss,
+                    self.task.pretty_print_epoch_task_metrics(
+                        train_task_metrics, train_num_graphs
+                    ),
+                    train_graphs_p_s, train_nodes_p_s, train_edges_p_s,
+                )
+            )
+            if metrics_writer is not None:
+                metrics_writer.write(
+                    "train", epoch, {"loss": train_loss,
+                                     "graphs_per_sec": train_graphs_p_s}
+                )
+
+            (valid_loss, valid_task_metrics, valid_num_graphs,
+             valid_graphs_p_s, valid_nodes_p_s, valid_edges_p_s) = self._run_epoch(
+                "epoch %i (validation)" % epoch,
+                self.task._loaded_data[DataFold.VALIDATION],
+                DataFold.VALIDATION,
+                quiet=quiet,
+            )
+            if not quiet:
+                print("\r\x1b[K", end="")
+            early_stopping_metric = self.task.early_stopping_metric(
+                valid_task_metrics, valid_num_graphs
+            )
+            valid_metric_descr = self.task.pretty_print_epoch_task_metrics(
+                valid_task_metrics, valid_num_graphs
+            )
+            self.log_line(
+                " Valid: loss: %.5f || %s || graphs/sec: %.2f | nodes/sec: %.0f | edges/sec: %.0f"
+                % (valid_loss, valid_metric_descr,
+                   valid_graphs_p_s, valid_nodes_p_s, valid_edges_p_s)
+            )
+            if metrics_writer is not None:
+                metrics_writer.write(
+                    "valid", epoch, {"loss": valid_loss,
+                                     "early_stopping_metric": early_stopping_metric}
+                )
+
+            if early_stopping_metric < best_valid_metric:
+                self.save_model(self.best_model_file)
+                self.log_line(
+                    "  (Best epoch so far, target metric decreased to %.5f from %.5f. Saving to '%s')"
+                    % (early_stopping_metric, best_valid_metric, self.best_model_file)
+                )
+                best_valid_metric = early_stopping_metric
+                best_val_metric_epoch = epoch
+                best_val_metric_descr = valid_metric_descr
+            elif epoch - best_val_metric_epoch >= self.params["patience"]:
+                total_time = time.time() - total_time_start
+                self.log_line(
+                    "Stopping training after %i epochs without improvement on validation loss."
+                    % self.params["patience"]
+                )
+                self.log_line(
+                    "Training took %is. Best validation results: %s"
+                    % (total_time, best_val_metric_descr)
+                )
+                break
+
+    def test(self, path: Optional[str], quiet: bool = False):
+        self.log_line("== Running Test on %s ==" % (path,))
+        data = self.task._loaded_data.get(DataFold.TEST)
+        if data is None:
+            data = self.task.load_eval_data_from_path(path)
+        test_loss, test_task_metrics, test_num_graphs, _, _, _ = self._run_epoch(
+            "Test", data, DataFold.TEST, quiet=quiet
+        )
+        if not quiet:
+            print("\r\x1b[K", end="")
+        self.log_line("Loss %.5f on %i graphs" % (test_loss, test_num_graphs))
+        self.log_line(
+            "Metrics: %s"
+            % self.task.pretty_print_epoch_task_metrics(
+                test_task_metrics, test_num_graphs
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# The seven concrete models (reference: models/*_model.py)
+# ---------------------------------------------------------------------------
+
+
+class GGNN_Model(SparseGraphModel):
+    layer_name = "ggnn"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "hidden_size": 128,
+            "graph_rnn_cell": "GRU",
+            "graph_activation_function": "tanh",
+            "message_aggregation_function": "sum",
+            "graph_layer_input_dropout_keep_prob": 1.0,
+            "graph_dense_between_every_num_gnn_layers": 10000,
+            "graph_residual_connection_every_num_layers": 10000,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        return "GGNN"
+
+    def layer_kwargs(self):
+        return {
+            "gated_unit_type": self.params["graph_rnn_cell"].lower(),
+            "activation_function": self.params["graph_activation_function"],
+            "message_aggregation_function": self.params["message_aggregation_function"],
+        }
+
+
+class RGCN_Model(SparseGraphModel):
+    layer_name = "rgcn"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "hidden_size": 128,
+            "graph_activation_function": "ReLU",
+            "message_aggregation_function": "sum",
+            "graph_layer_input_dropout_keep_prob": 1.0,
+            "graph_dense_between_every_num_gnn_layers": 10000,
+            "graph_residual_connection_every_num_layers": 10000,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        return "RGCN"
+
+    def layer_kwargs(self):
+        return {
+            "activation_function": self.params["graph_activation_function"],
+            "message_aggregation_function": self.params["message_aggregation_function"],
+        }
+
+
+class RGAT_Model(SparseGraphModel):
+    layer_name = "rgat"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "hidden_size": 128,
+            "num_heads": 4,
+            "graph_activation_function": "tanh",
+            "graph_layer_input_dropout_keep_prob": 1.0,
+            "graph_dense_between_every_num_gnn_layers": 10000,
+            "graph_residual_connection_every_num_layers": 10000,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        return "RGAT"
+
+    def layer_kwargs(self):
+        return {
+            "num_heads": self.params["num_heads"],
+            "activation_function": self.params["graph_activation_function"],
+        }
+
+
+class RGIN_Model(SparseGraphModel):
+    layer_name = "rgin"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "hidden_size": 128,
+            "graph_activation_function": "ReLU",
+            "message_aggregation_function": "sum",
+            "graph_dense_between_every_num_gnn_layers": 10000,
+            "graph_inter_layer_norm": True,
+            "use_target_state_as_input": False,
+            "graph_num_edge_MLP_hidden_layers": 1,
+            "graph_num_aggr_MLP_hidden_layers": None,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        return "RGIN"
+
+    def layer_kwargs(self):
+        return {
+            "activation_function": self.params["graph_activation_function"],
+            "message_aggregation_function": self.params["message_aggregation_function"],
+            "use_target_state_as_input": self.params["use_target_state_as_input"],
+            "num_edge_MLP_hidden_layers": self.params["graph_num_edge_MLP_hidden_layers"],
+            "num_aggr_MLP_hidden_layers": self.params["graph_num_aggr_MLP_hidden_layers"],
+        }
+
+
+class GNN_Edge_MLP_Model(SparseGraphModel):
+    layer_name = "gnn_edge_mlp"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "max_nodes_in_batch": 25000,
+            "hidden_size": 128,
+            "graph_activation_function": "gelu",
+            "message_aggregation_function": "sum",
+            "graph_inter_layer_norm": True,
+            "use_target_state_as_input": True,
+            "num_edge_hidden_layers": 1,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        # Parameterized name (models/gnn_edge_mlp_model.py:26-27).
+        return "GNN-Edge-MLP%i" % (params["num_edge_hidden_layers"])
+
+    def layer_kwargs(self):
+        return {
+            "activation_function": self.params["graph_activation_function"],
+            "message_aggregation_function": self.params["message_aggregation_function"],
+            "use_target_state_as_input": self.params["use_target_state_as_input"],
+            "num_edge_hidden_layers": self.params["num_edge_hidden_layers"],
+        }
+
+
+class RGDCN_Model(SparseGraphModel):
+    layer_name = "rgdcn"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "max_nodes_in_batch": 25000,
+            "hidden_size": 128,
+            "num_channels": 8,
+            "use_full_state_for_channel_weights": False,
+            "tie_channel_weights": False,
+            "graph_activation_function": "ReLU",
+            "message_aggregation_function": "sum",
+            "graph_inter_layer_norm": True,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        return "RGDCN"
+
+    def __init__(self, params, task, run_id, result_dir):
+        params["channel_dim"] = params["hidden_size"] // params["num_channels"]
+        super().__init__(params, task, run_id, result_dir)
+
+    def layer_kwargs(self):
+        return {
+            "num_channels": self.params["num_channels"],
+            "channel_dim": self.params["channel_dim"],
+            "use_full_state_for_channel_weights": self.params[
+                "use_full_state_for_channel_weights"
+            ],
+            "tie_channel_weights": self.params["tie_channel_weights"],
+            "activation_function": self.params["graph_activation_function"],
+            "message_aggregation_function": self.params["message_aggregation_function"],
+        }
+
+
+class GNN_FiLM_Model(SparseGraphModel):
+    layer_name = "gnn_film"
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "hidden_size": 128,
+            "graph_activation_function": "ReLU",
+            "message_aggregation_function": "sum",
+            "normalize_messages_by_num_incoming": False,
+        })
+        return params
+
+    @staticmethod
+    def name(params):
+        return "GNN-FiLM"
+
+    def layer_kwargs(self):
+        return {
+            "activation_function": self.params["graph_activation_function"],
+            "message_aggregation_function": self.params["message_aggregation_function"],
+            "normalize_by_num_incoming": self.params[
+                "normalize_messages_by_num_incoming"
+            ],
+        }

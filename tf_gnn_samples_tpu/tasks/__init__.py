@@ -1,0 +1,8 @@
+from .base import (  # noqa: F401
+    BatchSpec,
+    DataFold,
+    SparseGraphTask,
+    TaskBatch,
+    compute_batch_spec,
+    pack_greedy,
+)

@@ -1,0 +1,272 @@
+"""Abstract task interface, TPU-first.
+
+Mirrors the capability surface of the reference's `Sparse_Graph_Task`
+(tasks/sparse_graph_task.py:23-254): a task owns data loading, the input
+featurization, the output head (loss + metrics), minibatching, early-stopping
+metric and metric pretty-printing, while the model owns the propagation stack
+and the training loop (the reference's control-flow inversion,
+models/sparse_graph_model.py:129-160).
+
+TPU-first re-design (NOT a port):
+
+* No placeholders / feed dicts. A task yields `TaskBatch` values: a padded
+  static-shape `GraphBatch` plus a dict of padded task tensors. The model
+  jit-compiles one train/eval step over that pytree.
+* Static shapes via a per-dataset `BatchSpec`: at load time the task computes
+  hard node / per-edge-type / graph-count budgets such that EVERY packed
+  batch fits one fixed padded shape -> exactly one XLA compilation per fold
+  (vs. the reference recompiling nothing but reshaping every feed,
+  tasks/sparse_graph_task.py:139-149).
+* Output heads are pure functions: `output_init(key, hidden_size) -> params`
+  and `output_apply(params, batch, final_h, initial_feats, rng) ->
+  (loss, metrics)`; metrics are jnp scalars fetched lazily at epoch end.
+"""
+
+import gzip
+import json
+from abc import ABC, abstractmethod
+from enum import Enum
+from typing import Any, Dict, Iterable, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.graph import GraphBatch, bucket_size, pad_graph_batch
+
+
+class DataFold(Enum):
+    TRAIN = 0
+    VALIDATION = 1
+    TEST = 2
+
+
+class TaskBatch(NamedTuple):
+    """One minibatch: padded mega-graph + task tensors + host-side stats.
+
+    Replaces the reference's `MinibatchData` feed dict
+    (tasks/sparse_graph_task.py:16-20)."""
+
+    graph: GraphBatch
+    aux: Dict[str, np.ndarray]  # task-specific padded tensors
+    num_graphs: int  # host ints for throughput stats
+    num_nodes: int
+    num_edges: int
+
+
+class BatchSpec(NamedTuple):
+    """Static padded batch shape: all batches of a run fit this spec."""
+
+    n_pad: int
+    e_pads: Tuple[int, ...]  # per edge type
+    g_pad: int
+
+
+def compute_batch_spec(
+    graph_sizes: Sequence[Tuple[int, Sequence[int]]],
+    max_nodes: int,
+    num_edge_types: int,
+    min_bucket: int = 64,
+) -> BatchSpec:
+    """Derive hard budgets so that greedy packing under them always fits.
+
+    Args:
+        graph_sizes: per graph (num_nodes, per-type edge counts).
+        max_nodes: the reference's `max_nodes_in_batch` packing budget
+            (models/sparse_graph_model.py:25).
+
+    The per-type edge budget uses the worst per-graph edge density
+    r_l = max_g edges_l(g) / nodes(g): any pack with <= max_nodes nodes has
+    <= r_l * max_nodes edges of type l. The graph budget uses the smallest
+    graph. This gives ONE compiled shape per fold while keeping padding
+    waste bounded by observed densities.
+    """
+    max_density = np.zeros(num_edge_types)
+    min_nodes = None
+    max_graph_nodes = 0
+    max_graph_edges = np.zeros(num_edge_types, dtype=np.int64)
+    for n, e_counts in graph_sizes:
+        n = max(int(n), 1)
+        min_nodes = n if min_nodes is None else min(min_nodes, n)
+        max_graph_nodes = max(max_graph_nodes, n)
+        for l, e in enumerate(e_counts):
+            max_density[l] = max(max_density[l], e / n)
+            max_graph_edges[l] = max(max_graph_edges[l], e)
+    if min_nodes is None:
+        min_nodes = 1
+    n_pad = bucket_size(max(max_nodes, max_graph_nodes), min_size=min_bucket)
+    e_pads = tuple(
+        bucket_size(
+            max(int(np.ceil(max_density[l] * n_pad)), int(max_graph_edges[l]), 1),
+            min_size=min_bucket,
+        )
+        for l in range(num_edge_types)
+    )
+    g_pad = bucket_size(
+        max(int(np.ceil(n_pad / min_nodes)), 1), min_size=16
+    )
+    return BatchSpec(n_pad=n_pad, e_pads=e_pads, g_pad=g_pad)
+
+
+def pack_greedy(
+    graph_sizes: Sequence[Tuple[int, Sequence[int]]],
+    order: Sequence[int],
+    spec: BatchSpec,
+    max_nodes: int,
+) -> Iterator[List[int]]:
+    """Greedy packing of graphs into batches under the spec's hard budgets.
+
+    Matches the reference's packing semantics (keep adding while
+    node_offset + next_nodes < max_nodes, strict `<`; tasks/ppi_task.py:220,
+    tasks/qm9_task.py:223) with the additional static edge/graph budgets.
+    A graph too large for max_nodes alone is yielded as its own batch
+    (the reference would loop forever / crash on these; see SURVEY §"quirks").
+    """
+    cur: List[int] = []
+    cur_nodes = 0
+    cur_edges = np.zeros(len(spec.e_pads), dtype=np.int64)
+    for idx in order:
+        n, e_counts = graph_sizes[idx]
+        e_counts = np.asarray(e_counts, dtype=np.int64)
+        fits = (
+            cur_nodes + n < max_nodes
+            and len(cur) < spec.g_pad
+            and bool(np.all(cur_edges + e_counts <= np.asarray(spec.e_pads)))
+        )
+        if cur and not fits:
+            yield cur
+            cur, cur_nodes, cur_edges = [], 0, np.zeros_like(cur_edges)
+        cur.append(idx)
+        cur_nodes += n
+        cur_edges += e_counts
+    if cur:
+        yield cur
+
+
+class SparseGraphTask(ABC):
+    """Abstract task (capability-parity with reference Sparse_Graph_Task)."""
+
+    @classmethod
+    def default_params(cls) -> Dict[str, Any]:
+        return {}
+
+    @staticmethod
+    @abstractmethod
+    def name() -> str:
+        ...
+
+    @staticmethod
+    @abstractmethod
+    def default_data_path() -> str:
+        ...
+
+    def __init__(self, params: Dict[str, Any]):
+        self.params = params
+        self._loaded_data: Dict[DataFold, Any] = {}
+
+    # ---- metadata travels with the checkpoint (sparse_graph_task.py:46-59)
+    def get_metadata(self) -> Dict[str, Any]:
+        return {"params": self.params}
+
+    def restore_from_metadata(self, metadata: Dict[str, Any]) -> None:
+        self.params = metadata["params"]
+
+    @property
+    @abstractmethod
+    def num_edge_types(self) -> int:
+        ...
+
+    @property
+    @abstractmethod
+    def initial_node_feature_size(self) -> int:
+        ...
+
+    @property
+    def has_test_data(self) -> bool:
+        return DataFold.TEST in self._loaded_data
+
+    @abstractmethod
+    def load_data(self, path: Optional[str]) -> None:
+        ...
+
+    def load_eval_data_from_path(self, path: str) -> Iterable[Any]:
+        raise NotImplementedError()
+
+    # ---- input model -----------------------------------------------------
+    # Default: initial node features are given directly in the batch
+    # (reference default make_task_input_model, sparse_graph_task.py:107-149).
+    # Tasks with learned featurization (VarMisuse char CNN) override these.
+
+    def input_init(self, key) -> Any:
+        return {}
+
+    def input_apply(self, params, batch: TaskBatch, rng=None):
+        """Returns initial node features [N_pad, feature_size]."""
+        return batch.graph.node_features
+
+    # ---- output model ----------------------------------------------------
+
+    @abstractmethod
+    def output_init(self, key, hidden_size: int) -> Any:
+        ...
+
+    @abstractmethod
+    def output_apply(
+        self, params, batch: TaskBatch, final_h, initial_feats, rng=None
+    ) -> Tuple[Any, Dict[str, Any]]:
+        """Returns (loss, metrics dict of jnp scalars). rng=None => eval."""
+        ...
+
+    # ---- batching ----------------------------------------------------------
+
+    @abstractmethod
+    def make_minibatch_iterator(
+        self, data: Iterable[Any], data_fold: DataFold, max_nodes_per_batch: int
+    ) -> Iterator[TaskBatch]:
+        ...
+
+    # ---- epoch-level metrics ----------------------------------------------
+
+    @abstractmethod
+    def early_stopping_metric(
+        self, task_metric_results: List[Dict[str, np.ndarray]], num_graphs: int
+    ) -> float:
+        ...
+
+    @abstractmethod
+    def pretty_print_epoch_task_metrics(
+        self, task_metric_results: List[Dict[str, np.ndarray]], num_graphs: int
+    ) -> str:
+        ...
+
+
+def read_jsonl_gz(path: str) -> List[Any]:
+    """Minimal replacement for dpu_utils RichPath.read_by_file_suffix on
+    .jsonl.gz / .json.gz / .jsonl / .json files (reference: train.py:27)."""
+    if path.endswith(".gz"):
+        opener = lambda: gzip.open(path, "rt", encoding="utf-8")  # noqa: E731
+    else:
+        opener = lambda: open(path, "rt", encoding="utf-8")  # noqa: E731
+    with opener() as f:
+        if ".jsonl" in path:
+            return [json.loads(line) for line in f if line.strip()]
+        return json.load(f)
+
+
+def graph_sample_to_padded(
+    node_features: np.ndarray,
+    adjacency_lists: Sequence[np.ndarray],
+    node_graph_ids: np.ndarray,
+    num_graphs: int,
+    spec: BatchSpec,
+    typed_incoming_counts: Optional[np.ndarray] = None,
+) -> GraphBatch:
+    """Pad a packed batch to the fold's static BatchSpec."""
+    return pad_graph_batch(
+        node_features,
+        adjacency_lists,
+        node_graph_ids,
+        num_graphs,
+        n_pad=spec.n_pad,
+        e_pads=spec.e_pads,
+        g_pad=spec.g_pad,
+        typed_incoming_counts=typed_incoming_counts,
+    )

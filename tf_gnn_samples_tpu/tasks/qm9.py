@@ -1,0 +1,301 @@
+"""QM9 quantum-chemistry graph regression task.
+
+Capability-parity with the reference's `QM9_Task` (tasks/qm9_task.py:19-282):
+13 pre-normalized molecular properties, one (or more) trained per run via
+`task_ids`; bond-type edges with optional self-loops (type 0) and tied or
+distinct backward edges; gated-regression output head summed per graph;
+loss = sum over tasks of 0.5 * mean squared per-graph error; metrics =
+per-task absolute-error sums -> MAE and "Error Ratio" (MAE / chemical
+accuracy).
+
+TPU-first: batches are packed under `max_nodes_in_batch` and padded to a
+fold-constant BatchSpec (one XLA compile); targets become a [T, G_pad]
+tensor with padded graphs masked out of loss and metrics.
+"""
+
+from typing import Any, Dict, Iterable, Iterator, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.mlp import mlp_apply, mlp_init
+from ..ops.segment import segment_sum
+from .base import (
+    BatchSpec,
+    DataFold,
+    SparseGraphTask,
+    TaskBatch,
+    compute_batch_spec,
+    graph_sample_to_padded,
+    pack_greedy,
+    read_jsonl_gz,
+)
+
+
+class GraphSample(NamedTuple):
+    adjacency_lists: List[np.ndarray]
+    type_to_node_to_num_incoming_edges: np.ndarray
+    node_features: np.ndarray
+    target_values: np.ndarray
+
+
+class QM9_Task(SparseGraphTask):
+    # Dataset-generation normalization constants (reference qm9_task.py:22-26).
+    CHEMICAL_ACC_NORMALISING_FACTORS = [
+        0.066513725, 0.012235489, 0.071939046,
+        0.033730778, 0.033486113, 0.004278493,
+        0.001330901, 0.004165489, 0.004128926,
+        0.00409976, 0.004527465, 0.012292586,
+        0.037467458,
+    ]
+
+    @classmethod
+    def default_params(cls):
+        params = super().default_params()
+        params.update({
+            "task_ids": [0],
+            "add_self_loop_edges": True,
+            "tie_fwd_bkwd_edges": True,
+            "use_graph": True,
+            "activation_function": "tanh",
+            "out_layer_dropout_keep_prob": 1.0,
+        })
+        return params
+
+    @staticmethod
+    def name() -> str:
+        return "QM9"
+
+    @staticmethod
+    def default_data_path() -> str:
+        return "data/qm9"
+
+    def __init__(self, params: Dict[str, Any]):
+        super().__init__(params)
+        self.__num_edge_types = 0
+        self.__annotation_size = 0
+        self._batch_spec: Optional[BatchSpec] = None
+
+    def get_metadata(self) -> Dict[str, Any]:
+        metadata = super().get_metadata()
+        metadata["num_edge_types"] = self.__num_edge_types
+        metadata["annotation_size"] = self.__annotation_size
+        return metadata
+
+    def restore_from_metadata(self, metadata: Dict[str, Any]) -> None:
+        super().restore_from_metadata(metadata)
+        self.__num_edge_types = metadata["num_edge_types"]
+        self.__annotation_size = metadata["annotation_size"]
+
+    @property
+    def num_edge_types(self) -> int:
+        return self.__num_edge_types
+
+    @property
+    def initial_node_feature_size(self) -> int:
+        return self.__annotation_size
+
+    # -------------------- Data loading --------------------
+
+    def load_data(self, path: Optional[str]) -> None:
+        path = path or self.default_data_path()
+        self._loaded_data[DataFold.TRAIN] = self.__load_data(path + "/train.jsonl.gz")
+        self._loaded_data[DataFold.VALIDATION] = self.__load_data(path + "/valid.jsonl.gz")
+
+    def load_eval_data_from_path(self, path: str) -> Iterable[Any]:
+        # Reference appends test.jsonl.gz only for the default dir path
+        # (qm9_task.py:81-84).
+        if path == self.default_data_path():
+            path = path + "/test.jsonl.gz"
+        return self.__load_data(path)
+
+    def __load_data(self, data_file: str) -> List[GraphSample]:
+        print(" Loading QM9 data from %s." % (data_file,))
+        data = read_jsonl_gz(data_file)
+        num_fwd_edge_types = 0
+        for g in data:
+            num_fwd_edge_types = max(num_fwd_edge_types, max(e[1] for e in g["graph"]))
+        if self.params["add_self_loop_edges"]:
+            num_fwd_edge_types += 1
+        self.__num_edge_types = max(
+            self.__num_edge_types,
+            num_fwd_edge_types * (1 if self.params["tie_fwd_bkwd_edges"] else 2),
+        )
+        self.__annotation_size = max(
+            self.__annotation_size, len(data[0]["node_features"][0])
+        )
+        return self.__process_raw_graphs(data)
+
+    def __process_raw_graphs(self, raw_data) -> List[GraphSample]:
+        out = []
+        task_ids = self.params["task_ids"]
+        for d in raw_data:
+            adj, counts = self.__graph_to_adjacency_lists(
+                d["graph"], num_nodes=len(d["node_features"])
+            )
+            out.append(GraphSample(
+                adjacency_lists=adj,
+                type_to_node_to_num_incoming_edges=counts,
+                node_features=np.array(d["node_features"], dtype=np.float32),
+                target_values=np.array(
+                    [d["targets"][t][0] for t in task_ids], dtype=np.float32
+                ),
+            ))
+        return out
+
+    def __graph_to_adjacency_lists(self, graph, num_nodes: int):
+        """Edge typing exactly as the reference (qm9_task.py:113-147):
+        self-loops as type 0 shifting bond types to 1..K, tied backward
+        edges duplicated in-type, or distinct backward types appended."""
+        tie = self.params["tie_fwd_bkwd_edges"]
+        self_loops = self.params["add_self_loop_edges"]
+        L = self.num_edge_types
+        num_fwd = L if tie else L // 2
+        typed: List[List[Tuple[int, int]]] = [[] for _ in range(num_fwd)]
+        counts = np.zeros((L, num_nodes), dtype=np.float32)
+        for src, e, dest in graph:
+            fwd = e if self_loops else e - 1
+            typed[fwd].append((src, dest))
+            counts[fwd, dest] += 1
+            if tie:
+                typed[fwd].append((dest, src))
+                counts[fwd, src] += 1
+        if self_loops:
+            for v in range(num_nodes):
+                counts[0, v] = 1
+                typed[0].append((v, v))
+        adj = [
+            np.array(sorted(t), dtype=np.int32) if t else np.zeros((0, 2), np.int32)
+            for t in typed
+        ]
+        if not tie:
+            for l in range(num_fwd):
+                bwd = np.array(
+                    sorted((int(y), int(x)) for x, y in adj[l]), dtype=np.int32
+                ).reshape(-1, 2)
+                adj.append(bwd)
+                for x, y in adj[l]:
+                    counts[num_fwd + l, x] += 1
+        return adj, counts
+
+    # -------------------- Output head --------------------
+
+    def output_init(self, key, hidden_size: int):
+        """Gated regression head per task id (qm9_task.py:163-188):
+        sigmoid(gate(concat(h_final, h_init))) * transform(h_final),
+        each a single biased linear layer (MLP with no hidden layers)."""
+        heads = {}
+        for task_id in self.params["task_ids"]:
+            k1, k2, key = jax.random.split(key, 3)
+            heads["task%i" % task_id] = {
+                "gate": mlp_init(
+                    k1, hidden_size + self.initial_node_feature_size, 1,
+                    hidden_layers=[], use_biases=True,
+                ),
+                "transform": mlp_init(k2, hidden_size, 1, hidden_layers=[], use_biases=True),
+            }
+        return heads
+
+    def output_apply(self, params, batch: TaskBatch, final_h, initial_feats, rng=None):
+        g = batch.graph
+        targets = batch.aux["target_values"]  # [T, G_pad]
+        drop = 1.0 - self.params["out_layer_dropout_keep_prob"] if rng is not None else 0.0
+        num_graphs = jnp.maximum(g.num_graphs.astype(jnp.float32), 1.0)
+        gate_input = jnp.concatenate([final_h, initial_feats], axis=-1)
+
+        metrics: Dict[str, Any] = {}
+        losses = []
+        for internal_id, task_id in enumerate(self.params["task_ids"]):
+            head = params["task%i" % task_id]
+            if rng is not None:
+                rng, k1, k2 = jax.random.split(rng, 3)
+            else:
+                k1 = k2 = None
+            per_node = mlp_apply(head["transform"], final_h, dropout_rate=drop, rng=k2)
+            gated = jax.nn.sigmoid(
+                mlp_apply(head["gate"], gate_input, dropout_rate=drop, rng=k1)
+            ) * per_node  # [N_pad, 1]
+            # Padded nodes belong to dump graph g_pad; aggregate into
+            # g_pad + 1 slots then drop the dump slot.
+            per_graph = segment_sum(
+                gated[:, 0] * g.node_mask, g.node_graph_ids, g.g_pad + 1
+            )[: g.g_pad]
+            err = (per_graph - targets[internal_id]) * g.graph_mask
+            metrics["abs_err_task%i" % task_id] = jnp.sum(jnp.abs(err))
+            losses.append(jnp.sum(0.5 * jnp.square(err)) / num_graphs)
+        loss = sum(losses)
+        metrics["loss"] = loss
+        metrics["total_loss"] = loss * num_graphs
+        return loss, metrics
+
+    # -------------------- Minibatching --------------------
+
+    def _graph_sizes(self, data) -> List[Tuple[int, List[int]]]:
+        return [
+            (len(s.node_features), [a.shape[0] for a in s.adjacency_lists])
+            for s in data
+        ]
+
+    def make_minibatch_iterator(
+        self, data, data_fold: DataFold, max_nodes_per_batch: int
+    ) -> Iterator[TaskBatch]:
+        sizes = self._graph_sizes(data)
+        spec = compute_batch_spec(sizes, max_nodes_per_batch, self.num_edge_types)
+        order = np.arange(len(data))
+        if data_fold == DataFold.TRAIN:
+            np.random.shuffle(order)
+        T = len(self.params["task_ids"])
+        for pack in pack_greedy(sizes, order, spec, max_nodes_per_batch):
+            feats, gids, targets = [], [], np.zeros((T, spec.g_pad), np.float32)
+            adj = [[] for _ in range(self.num_edge_types)]
+            counts = []
+            node_offset = 0
+            num_edges = 0
+            for gi, idx in enumerate(pack):
+                s = data[idx]
+                n = len(s.node_features)
+                feats.append(s.node_features)
+                gids.append(np.full((n,), gi, dtype=np.int32))
+                for l in range(self.num_edge_types):
+                    adj[l].append(s.adjacency_lists[l] + node_offset)
+                    num_edges += s.adjacency_lists[l].shape[0]
+                counts.append(s.type_to_node_to_num_incoming_edges)
+                targets[:, gi] = s.target_values
+                node_offset += n
+            merged_adj = [
+                np.concatenate(a) if a else np.zeros((0, 2), np.int32) for a in adj
+            ]
+            graph = graph_sample_to_padded(
+                np.concatenate(feats, axis=0),
+                merged_adj,
+                np.concatenate(gids),
+                len(pack),
+                spec,
+                typed_incoming_counts=np.concatenate(counts, axis=1),
+            )
+            yield TaskBatch(
+                graph=graph,
+                aux={"target_values": targets},
+                num_graphs=len(pack),
+                num_nodes=node_offset,
+                num_edges=num_edges,
+            )
+
+    # -------------------- Epoch metrics --------------------
+
+    def early_stopping_metric(self, task_metric_results, num_graphs: int) -> float:
+        return float(np.sum([m["total_loss"] for m in task_metric_results]) / num_graphs)
+
+    def pretty_print_epoch_task_metrics(self, task_metric_results, num_graphs: int) -> str:
+        maes = {t: 0.0 for t in self.params["task_ids"]}
+        for batch_metrics in task_metric_results:
+            for t in self.params["task_ids"]:
+                maes[t] += float(batch_metrics["abs_err_task%i" % t]) / float(num_graphs)
+        maes_str = " ".join("%i:%.5f" % (t, maes[t]) for t in self.params["task_ids"])
+        err_str = " ".join(
+            "%i:%.5f" % (t, maes[t] / self.CHEMICAL_ACC_NORMALISING_FACTORS[t])
+            for t in self.params["task_ids"]
+        )
+        return "MAEs: %s | Error Ratios: %s" % (maes_str, err_str)
