@@ -1,0 +1,289 @@
+"""Tests for the training runtime: optimizers (TF1 semantics), padding
+invariance of task heads, checkpoint round-trip, and data-parallel
+equivalence with single-device training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tf_gnn_samples_tpu.runtime.optimizers import Optimizer, clip_grads_per_tensor
+from tf_gnn_samples_tpu.tasks.base import DataFold
+
+
+# ---------------------------------------------------------------------------
+# Optimizers
+# ---------------------------------------------------------------------------
+
+
+def test_sgd_semantics():
+    opt = Optimizer("sgd", {})
+    params = {"w": jnp.array([1.0, 2.0])}
+    grads = {"w": jnp.array([0.5, -1.0])}
+    state = opt.init(params)
+    new_params, _ = opt.update(grads, state, params, 0.1)
+    np.testing.assert_allclose(new_params["w"], [0.95, 2.1], rtol=1e-6)
+
+
+def test_adam_matches_tf_formula():
+    opt = Optimizer("adam", {})
+    rng = np.random.RandomState(0)
+    w = rng.randn(5).astype(np.float32)
+    params = {"w": jnp.array(w)}
+    state = opt.init(params)
+    m = np.zeros(5)
+    v = np.zeros(5)
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+    w_ref = w.astype(np.float64)
+    for t in range(1, 4):
+        g = rng.randn(5).astype(np.float32)
+        params, state = opt.update({"w": jnp.array(g)}, state, params, lr)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        lr_t = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+        w_ref = w_ref - lr_t * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(params["w"], w_ref, rtol=1e-5)
+
+
+def test_rmsprop_matches_tf_formula():
+    decay, momentum, eps, lr = 0.9, 0.8, 1e-10, 0.01
+    opt = Optimizer("rmsprop", {"decay": decay, "momentum": momentum})
+    rng = np.random.RandomState(1)
+    w = rng.randn(4).astype(np.float32)
+    params = {"w": jnp.array(w)}
+    state = opt.init(params)
+    ms = np.zeros(4)
+    mom = np.zeros(4)
+    w_ref = w.astype(np.float64)
+    for _ in range(3):
+        g = rng.randn(4).astype(np.float32)
+        params, state = opt.update({"w": jnp.array(g)}, state, params, lr)
+        ms = decay * ms + (1 - decay) * g * g
+        mom = momentum * mom + lr * g / np.sqrt(ms + eps)
+        w_ref = w_ref - mom
+    np.testing.assert_allclose(params["w"], w_ref, rtol=1e-5)
+
+
+def test_clip_per_tensor():
+    grads = {"a": jnp.array([3.0, 4.0]), "b": jnp.array([0.3, 0.4])}
+    clipped = clip_grads_per_tensor(grads, 1.0)
+    # ||a|| = 5 > 1 -> scaled to unit norm; ||b|| = 0.5 <= 1 -> unchanged.
+    np.testing.assert_allclose(clipped["a"], [0.6, 0.8], rtol=1e-5)
+    np.testing.assert_allclose(clipped["b"], [0.3, 0.4], rtol=1e-6)
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(Exception):
+        Optimizer("adagrad", {})
+
+
+# ---------------------------------------------------------------------------
+# Tiny model/task harness (synthetic QM9-shaped data)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import __graft_entry__ as ge
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=32, n_layers=2, seed=3
+    )
+    return model, task, samples
+
+
+def _get_batches(task, samples, max_nodes):
+    return list(task.make_minibatch_iterator(samples, DataFold.VALIDATION, max_nodes))
+
+
+def test_padding_invariance_of_forward(tiny):
+    """The loss must not depend on the padded sizes."""
+    model, task, samples = tiny
+    batches_small = _get_batches(task, samples, 200)
+    # Force different padding by a bigger budget covering the same single pack
+    sizes = [(len(s.node_features), [a.shape[0] for a in s.adjacency_lists]) for s in samples]
+    from tf_gnn_samples_tpu.tasks.base import compute_batch_spec
+
+    assert len(batches_small) >= 1
+    b = batches_small[0]
+    # Re-pad the same batch to larger static sizes:
+    from tf_gnn_samples_tpu.tasks.base import BatchSpec, graph_sample_to_padded
+
+    spec_big = BatchSpec(
+        n_pad=b.graph.n_pad + 128,
+        e_pads=tuple(e.senders.shape[0] + 64 for e in b.graph.edges),
+        g_pad=b.graph.g_pad + 16,
+    )
+    n = int(b.num_nodes)
+    adj = []
+    for e in b.graph.edges:
+        msk = np.asarray(e.mask) > 0
+        adj.append(np.stack(
+            [np.asarray(e.senders)[msk], np.asarray(e.receivers)[msk]], axis=1
+        ).astype(np.int32))
+    graph_big = graph_sample_to_padded(
+        np.asarray(b.graph.node_features)[:n],
+        adj,
+        np.asarray(b.graph.node_graph_ids)[:n],
+        int(b.num_graphs),
+        spec_big,
+        typed_incoming_counts=np.asarray(b.graph.typed_incoming_counts)[:, :n],
+    )
+    aux_big = {
+        "target_values": np.pad(
+            np.asarray(b.aux["target_values"]),
+            ((0, 0), (0, spec_big.g_pad - b.graph.g_pad)),
+        )
+    }
+    from tf_gnn_samples_tpu.tasks.base import TaskBatch
+
+    b_big = TaskBatch(graph=graph_big, aux=aux_big, num_graphs=b.num_graphs,
+                      num_nodes=b.num_nodes, num_edges=b.num_edges)
+
+    loss1, m1 = model._forward(model.model_params_tree, model._device_batch(b), None)
+    loss2, m2 = model._forward(model.model_params_tree, model._device_batch(b_big), None)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(m1["abs_err_task0"]), float(m2["abs_err_task0"]), rtol=1e-4
+    )
+
+
+def test_train_step_decreases_loss(tiny):
+    model, task, samples = tiny
+    batches = _get_batches(task, samples, 200)
+    step = model._make_train_step()
+    # Copy before stepping: the jitted step donates its params/opt-state
+    # arguments, and the module-scoped fixture model must stay usable.
+    params = jax.tree_util.tree_map(jnp.copy, model.model_params_tree)
+    opt_state = jax.tree_util.tree_map(jnp.copy, model.opt_state)
+    dev = model._device_batch(batches[0])
+    losses = []
+    for i in range(30):
+        params, opt_state, metrics = step(params, opt_state, jax.random.PRNGKey(i), dev)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_roundtrip(tiny, tmp_path):
+    model, task, samples = tiny
+    path = str(tmp_path / "ckpt.pickle")
+    model.save_model(path)
+
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    assert data["model_class"] == "RGCN"
+    assert data["task_class"] == "QM9"
+    assert data["task_metadata"]["num_edge_types"] == 4
+
+    # Perturb, then restore: weights must return to saved values.
+    perturbed = jax.tree_util.tree_map(lambda x: x + 1.0, model.model_params_tree)
+    model.model_params_tree = perturbed
+    model.load_weights(data["weights"])
+    batch = _get_batches(task, samples, 200)[0]
+    loss_restored, _ = model._forward(
+        model.model_params_tree, model._device_batch(batch), None
+    )
+
+    from tf_gnn_samples_tpu.utils.registry import restore as restore_model
+
+    model2 = restore_model(path, str(tmp_path))
+    loss2, _ = model2._forward(
+        model2.model_params_tree, model2._device_batch(batch), None
+    )
+    np.testing.assert_allclose(float(loss_restored), float(loss2), rtol=1e-6)
+
+
+def test_partial_restore_fresh_inits(tiny, capsys):
+    from tf_gnn_samples_tpu.runtime.model import flatten_params, unflatten_like
+
+    model, _, _ = tiny
+    weights = flatten_params(model.model_params_tree)
+    some_key = sorted(weights)[0]
+    del weights[some_key]
+    weights["bogus_extra"] = np.zeros(3)
+    rebuilt = unflatten_like(model.model_params_tree, weights)
+    out = capsys.readouterr().out
+    assert "Freshly initializing" in out
+    assert "not used by model" in out
+    # Rebuilt tree has the same structure:
+    assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(
+        model.model_params_tree
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism
+# ---------------------------------------------------------------------------
+
+
+def test_dp_matches_single_device(tiny):
+    """2-way DP on the virtual CPU mesh must match a single-device step on
+    the equivalent combined batch (weighted-mean loss gradient)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from tf_gnn_samples_tpu.parallel import make_mesh, make_dp_train_step, stack_task_batches
+
+    model, task, samples = tiny
+    batches = _get_batches(task, samples, 100)
+    assert len(batches) >= 2, "need at least two batches"
+    b0, b1 = batches[0], batches[1]
+
+    mesh = make_mesh(2)
+    dp_step = make_dp_train_step(model, mesh)
+    stacked = stack_task_batches([b0, b1])
+    p0 = jax.tree_util.tree_map(jnp.copy, model.model_params_tree)
+    o0 = model._optimizer.init(p0)
+    dp_params, _, dp_metrics = dp_step(p0, o0, jax.random.PRNGKey(0), stacked)
+
+    # Single-device reference: combined loss = weighted mean of batch losses.
+    def combined_loss(params):
+        l0, m0 = model._forward(params, model._device_batch(b0), None)
+        l1, m1 = model._forward(params, model._device_batch(b1), None)
+        n0 = float(b0.num_graphs)
+        n1 = float(b1.num_graphs)
+        return (l0 * n0 + l1 * n1) / (n0 + n1)
+
+    from tf_gnn_samples_tpu.runtime.optimizers import clip_grads_per_tensor
+
+    p1 = jax.tree_util.tree_map(jnp.copy, model.model_params_tree)
+    grads = jax.grad(combined_loss)(p1)
+    grads = clip_grads_per_tensor(grads, model.params["clamp_gradient_norm"])
+    ref_params, _ = model._optimizer.update(
+        grads, model._optimizer.init(p1), p1, model.params["learning_rate"]
+    )
+
+    # RGCN@defaults has all dropout keep probs at 1.0, so the DP step is
+    # deterministic and must match the single-device combined step exactly
+    # (up to float reassociation in the psum).
+    for ref_leaf, dp_leaf in zip(
+        jax.tree_util.tree_leaves(ref_params),
+        jax.tree_util.tree_leaves(dp_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(dp_leaf), np.asarray(ref_leaf), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_dp_eval_metrics_sum(tiny):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from tf_gnn_samples_tpu.parallel import make_mesh, stack_task_batches
+    from tf_gnn_samples_tpu.parallel.data_parallel import make_dp_eval_step
+
+    model, task, samples = tiny
+    batches = _get_batches(task, samples, 100)
+    b0, b1 = batches[0], batches[1]
+    mesh = make_mesh(2)
+    eval_step = make_dp_eval_step(model, mesh)
+    metrics = eval_step(model.model_params_tree, stack_task_batches([b0, b1]))
+
+    _, m0 = model._forward(model.model_params_tree, model._device_batch(b0), None)
+    _, m1 = model._forward(model.model_params_tree, model._device_batch(b1), None)
+    np.testing.assert_allclose(
+        float(metrics["abs_err_task0"]),
+        float(m0["abs_err_task0"]) + float(m1["abs_err_task0"]),
+        rtol=1e-5,
+    )

@@ -101,6 +101,14 @@ class SparseGraphModel(ABC):
             "momentum": 0.85,
             "clamp_gradient_norm": 1.0,
             "random_seed": 0,
+            # TPU-native extension (not in the reference): keep each fold's
+            # padded batches resident on device across epochs. Eliminates
+            # per-epoch host->device uploads (the dominant cost when the
+            # accelerator sits behind a slow link). For TRAIN the batch
+            # *order* is reshuffled per epoch but graph-to-batch packing is
+            # frozen after the first epoch (the reference re-packs after a
+            # full data shuffle each epoch, ppi_task.py:204).
+            "cache_batches_on_device": False,
         }
 
     @staticmethod
@@ -135,6 +143,7 @@ class SparseGraphModel(ABC):
         self.opt_state = self._optimizer.init(self.model_params_tree)
         self._jitted_train_step = None
         self._jitted_eval_step = None
+        self._batch_cache: Dict[Any, List[TaskBatch]] = {}
 
     # -------------------- files --------------------
 
@@ -253,7 +262,15 @@ class SparseGraphModel(ABC):
         print(msg)
 
     def _device_batch(self, batch: TaskBatch) -> TaskBatch:
-        return jax.tree_util.tree_map(jnp.asarray, batch)
+        # Keep the host-side stat ints out of the transfer (fetching them
+        # back per batch would force a device sync each step).
+        return TaskBatch(
+            graph=jax.tree_util.tree_map(jnp.asarray, batch.graph),
+            aux=jax.tree_util.tree_map(jnp.asarray, batch.aux),
+            num_graphs=int(batch.num_graphs),
+            num_nodes=int(batch.num_nodes),
+            num_edges=int(batch.num_edges),
+        )
 
     def _run_epoch(
         self,
@@ -262,10 +279,18 @@ class SparseGraphModel(ABC):
         data_fold: DataFold,
         quiet: bool = False,
     ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
-        batch_iterator = self.task.make_minibatch_iterator(
-            data, data_fold, self.params["max_nodes_in_batch"]
-        )
-        batch_iterator = ThreadedIterator(batch_iterator, max_queue_size=5)
+        cache_on_device = self.params.get("cache_batches_on_device", False)
+        cached = self._batch_cache.get(data_fold) if cache_on_device else None
+        if cached is not None:
+            order = np.arange(len(cached))
+            if data_fold == DataFold.TRAIN:
+                np.random.shuffle(order)
+            batch_iterator = (cached[i] for i in order)
+        else:
+            batch_iterator = self.task.make_minibatch_iterator(
+                data, data_fold, self.params["max_nodes_in_batch"]
+            )
+            batch_iterator = ThreadedIterator(batch_iterator, max_queue_size=5)
 
         if self._jitted_train_step is None:
             self._jitted_train_step = self._make_train_step()
@@ -277,11 +302,17 @@ class SparseGraphModel(ABC):
         device_metrics: List[Dict[str, Any]] = []
         batch_graph_counts: List[int] = []
 
+        to_cache: List[TaskBatch] = []
         for step_i, batch in enumerate(batch_iterator):
-            processed_graphs += batch.num_graphs
-            processed_nodes += batch.num_nodes
-            processed_edges += batch.num_edges
-            dev_batch = self._device_batch(batch)
+            processed_graphs += int(batch.num_graphs)
+            processed_nodes += int(batch.num_nodes)
+            processed_edges += int(batch.num_edges)
+            if cached is not None:
+                dev_batch = batch  # already device-resident
+            else:
+                dev_batch = self._device_batch(batch)
+                if cache_on_device:
+                    to_cache.append(dev_batch)
             if data_fold == DataFold.TRAIN:
                 rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
                 self.model_params_tree, self.opt_state, metrics = (
@@ -301,6 +332,8 @@ class SparseGraphModel(ABC):
                 )
 
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
+        if cache_on_device and cached is None:
+            self._batch_cache[data_fold] = to_cache
         # Single host sync at epoch end: fetch all metric scalars at once.
         host_metrics = jax.device_get(device_metrics)
         task_metric_results = [
