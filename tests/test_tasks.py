@@ -1,0 +1,251 @@
+"""Task-level tests: loaders, heads, batching and short end-to-end training
+for PPI, Citation, and VarMisuse over synthetic fixtures."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tf_gnn_samples_tpu.tasks.base import DataFold
+
+from fixtures import make_planetoid_dir, make_ppi_dir, make_varmisuse_dir
+
+
+def _short_train(model, task, epochs=2):
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+
+    losses = []
+    for _ in range(epochs):
+        loss, metrics, n, *_ = model._run_epoch(
+            "t", task._loaded_data[DataFold.TRAIN], DataFold.TRAIN, quiet=True
+        )
+        losses.append(loss)
+    return losses
+
+
+# ---------------------------------------------------------------------------
+# PPI
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ppi_task(tmp_path_factory):
+    from tf_gnn_samples_tpu.tasks.ppi import PPI_Task
+
+    root = make_ppi_dir(str(tmp_path_factory.mktemp("ppi")))
+    task = PPI_Task(PPI_Task.default_params())
+    task.load_data(root)
+    return task
+
+
+def test_ppi_load_shapes(ppi_task):
+    data = ppi_task._loaded_data[DataFold.TRAIN]
+    assert len(data) == 4
+    assert ppi_task.num_edge_types == 3  # fwd, self-loop, bkwd
+    g = data[0]
+    assert g.node_features.shape == (300, 50)
+    assert g.node_labels.shape == (300, 121)
+    # self-loops:
+    np.testing.assert_array_equal(
+        g.adjacency_lists[1][:, 0], g.adjacency_lists[1][:, 1]
+    )
+    # bkwd edges are reversed fwd edges:
+    np.testing.assert_array_equal(
+        g.adjacency_lists[2], g.adjacency_lists[0][:, ::-1]
+    )
+
+
+def test_ppi_incoming_counts_match(ppi_task):
+    g = ppi_task._loaded_data[DataFold.TRAIN][0]
+    for l in range(3):
+        counts = np.zeros(300)
+        np.add.at(counts, g.adjacency_lists[l][:, 1], 1.0)
+        np.testing.assert_array_equal(g.type_to_node_to_num_incoming_edges[l], counts)
+
+
+def test_ppi_micro_f1_matches_sklearn_style(ppi_task):
+    """Masked counts on a padded batch match a dense numpy micro-F1."""
+    batch = next(
+        ppi_task.make_minibatch_iterator(
+            ppi_task._loaded_data[DataFold.TRAIN], DataFold.VALIDATION, 650
+        )
+    )
+    rng = np.random.RandomState(0)
+    logits = rng.randn(batch.graph.n_pad, 121).astype(np.float32)
+    from tf_gnn_samples_tpu.tasks.ppi import micro_f1_counts
+
+    tp, fp, fn = micro_f1_counts(
+        jnp.asarray(logits), jnp.asarray(batch.aux["target_labels"]),
+        jnp.asarray(batch.graph.node_mask),
+    )
+    n = int(batch.num_nodes)
+    preds = (1 / (1 + np.exp(-logits[:n])) >= 0.5).astype(np.int64)
+    labels = batch.aux["target_labels"][:n].astype(np.int64)
+    assert int(tp) == int(np.sum(preds * labels))
+    assert int(fp) == int(np.sum(preds * (1 - labels)))
+    assert int(fn) == int(np.sum((1 - preds) * labels))
+
+
+def test_ppi_end_to_end_loss_decreases(ppi_task):
+    from tf_gnn_samples_tpu.runtime.model import GNN_FiLM_Model
+
+    params = GNN_FiLM_Model.default_params()
+    params.update({"graph_num_layers": 2, "hidden_size": 32, "max_epochs": 2,
+                   "max_nodes_in_batch": 650})
+    model = GNN_FiLM_Model(params, ppi_task, "t", "/tmp/ppi_test_run")
+    losses = _short_train(model, ppi_task, epochs=3)
+    assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Citation
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def citation_task(tmp_path_factory):
+    from tf_gnn_samples_tpu.tasks.citation import Citation_Network_Task
+
+    root = make_planetoid_dir(str(tmp_path_factory.mktemp("cit")))
+    params = Citation_Network_Task.default_params()
+    params["data_kind"] = "cora"
+    task = Citation_Network_Task(params)
+    task.load_data(root)
+    return task
+
+
+def test_citation_single_batch(citation_task):
+    batches = list(
+        citation_task.make_minibatch_iterator(
+            citation_task._loaded_data[DataFold.TRAIN], DataFold.TRAIN, 100000
+        )
+    )
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.num_graphs == 1
+    # Mask counts = number of training nodes (40 in the fixture):
+    assert int(b.aux["mask"].sum()) == 40
+    # Edge type 0 = self loops:
+    e0 = b.graph.edges[0]
+    real = np.asarray(e0.mask) > 0
+    np.testing.assert_array_equal(
+        np.asarray(e0.senders)[real], np.asarray(e0.receivers)[real]
+    )
+
+
+def test_citation_masked_accuracy_range(citation_task):
+    from tf_gnn_samples_tpu.runtime.model import RGCN_Model
+
+    params = RGCN_Model.default_params()
+    params.update({"graph_num_layers": 2, "hidden_size": 16})
+    model = RGCN_Model(params, citation_task, "t", "/tmp/cit_test_run")
+    b = next(iter(citation_task.make_minibatch_iterator(
+        citation_task._loaded_data[DataFold.VALIDATION], DataFold.VALIDATION, 1 << 20
+    )))
+    loss, metrics = model._forward(
+        model.model_params_tree, model._device_batch(b), None
+    )
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    assert float(loss) > 0
+
+
+# ---------------------------------------------------------------------------
+# VarMisuse
+# ---------------------------------------------------------------------------
+
+
+def test_split_identifier_into_parts():
+    from tf_gnn_samples_tpu.tasks.varmisuse import split_identifier_into_parts
+
+    assert split_identifier_into_parts("fooBar") == ["foo", "bar"]
+    assert split_identifier_into_parts("baz_qux") == ["baz", "qux"]
+    assert split_identifier_into_parts("HTTPResponse2") == ["http", "response2"]
+    assert split_identifier_into_parts("x") == ["x"]
+
+
+@pytest.fixture(scope="module")
+def vm_task(tmp_path_factory):
+    from tf_gnn_samples_tpu.tasks.varmisuse import VarMisuse_Task
+
+    root = make_varmisuse_dir(str(tmp_path_factory.mktemp("vm")))
+    task = VarMisuse_Task(VarMisuse_Task.default_params())
+    task.load_data(root)
+    return task
+
+
+def test_varmisuse_load(vm_task):
+    data = vm_task._loaded_data[DataFold.TRAIN]
+    assert len(data) == 12  # 2 shards x 6 samples
+    assert vm_task.num_edge_types == 22
+    s = data[0]
+    # Correct candidate reordered to index 0 and mask padded to 5:
+    assert s.variable_candidate_nodes.shape == (5,)
+    assert s.variable_candidate_nodes_mask[0] == 1.0
+    # Subtoken nodes were added beyond the base nodes:
+    assert s.type_to_node_to_num_incoming_edges.shape[0] == 22
+    # UsesSubtoken edges exist (identifiers are in the fixture):
+    from tf_gnn_samples_tpu.tasks.varmisuse import (
+        PROGRAM_GRAPH_EDGES_TYPES_VOCAB,
+        USES_SUBTOKEN_EDGE_NAME,
+    )
+
+    st = PROGRAM_GRAPH_EDGES_TYPES_VOCAB[USES_SUBTOKEN_EDGE_NAME]
+    assert s.adjacency_lists[st].shape[0] > 0
+
+
+def test_varmisuse_char_encoding(vm_task):
+    from tf_gnn_samples_tpu.tasks.varmisuse import ALPHABET_DICT
+
+    s = vm_task._loaded_data[DataFold.TRAIN][0]
+    uniq = s.unique_labels_as_characters
+    # All char codes are within PAD/UNK + alphabet:
+    assert uniq.min() >= 0
+    assert uniq.max() <= max(ALPHABET_DICT.values())
+    # node -> unique map round-trips:
+    assert s.node_labels_to_unique_labels.max() < uniq.shape[0]
+
+
+def test_varmisuse_end_to_end(vm_task):
+    from tf_gnn_samples_tpu.runtime.model import GGNN_Model
+
+    params = GGNN_Model.default_params()
+    params.update({"graph_num_layers": 2, "hidden_size": 64,
+                   "max_nodes_in_batch": 400})
+    model = GGNN_Model(params, vm_task, "t", "/tmp/vm_test_run")
+    losses = _short_train(model, vm_task, epochs=3)
+    assert losses[-1] < losses[0], losses
+
+
+def test_varmisuse_accuracy_masked_correctly(vm_task):
+    """Padded graphs must not contribute to num_correct."""
+    from tf_gnn_samples_tpu.runtime.model import GGNN_Model
+
+    params = GGNN_Model.default_params()
+    params.update({"graph_num_layers": 1, "hidden_size": 64,
+                   "max_nodes_in_batch": 400})
+    model = GGNN_Model(params, vm_task, "t", "/tmp/vm_test_run2")
+    b = next(iter(vm_task.make_minibatch_iterator(
+        vm_task._loaded_data[DataFold.VALIDATION], DataFold.VALIDATION, 400
+    )))
+    _, metrics = model._forward(model.model_params_tree, model._device_batch(b), None)
+    assert float(metrics["num_correct_predictions"]) <= float(b.num_graphs)
+
+
+def test_varmisuse_checkpoint_roundtrip(vm_task, tmp_path):
+    from tf_gnn_samples_tpu.runtime.model import GGNN_Model
+    from tf_gnn_samples_tpu.utils.registry import restore
+
+    params = GGNN_Model.default_params()
+    params.update({"graph_num_layers": 1, "hidden_size": 64,
+                   "max_nodes_in_batch": 400})
+    model = GGNN_Model(params, vm_task, "t", str(tmp_path))
+    path = str(tmp_path / "vm.pickle")
+    model.save_model(path)
+    model2 = restore(path, str(tmp_path))
+    b = next(iter(vm_task.make_minibatch_iterator(
+        vm_task._loaded_data[DataFold.VALIDATION], DataFold.VALIDATION, 400
+    )))
+    l1, _ = model._forward(model.model_params_tree, model._device_batch(b), None)
+    l2, _ = model2._forward(model2.model_params_tree, model2._device_batch(b), None)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
