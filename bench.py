@@ -73,18 +73,17 @@ def main():
     })
     model = RGCN_Model(params, task, "bench", tempfile.mkdtemp(prefix="ppi_bench_run_"))
 
-    # Warm-up epoch (includes XLA compile), then timed steady-state epochs.
+    # Warm-up: epoch 1 streams + caches on device (includes XLA compile);
+    # then timed steady-state epochs over device-resident batches.
     model._run_epoch("bench warmup", task._loaded_data[DataFold.TRAIN],
                      DataFold.TRAIN, quiet=True)
     edges = 0.0
-    t0 = time.time()
-    n_epochs = 3
+    n_epochs = 4
     for _ in range(n_epochs):
         _, _, _, _, _, eps = model._run_epoch(
             "bench", task._loaded_data[DataFold.TRAIN], DataFold.TRAIN, quiet=True
         )
         edges += eps
-    _elapsed = time.time() - t0
     edges_per_sec = edges / n_epochs
 
     baseline = 1952084.0  # reference RGCN train epoch edges/sec on V100 (README.md:34)

@@ -31,8 +31,15 @@ import jax
 import jax.numpy as jnp
 
 from .. import SMALL_NUMBER
+from ..ops.edge_ops import (
+    aggregate_blocks,
+    aggregate_sum_block,
+    dense_aggregate_linear,
+    gather_src,
+    gather_tgt,
+    segment_softmax_blocks,
+)
 from ..ops.graph import GraphBatch
-from ..ops.segment import get_aggregation_function, segment_softmax, segment_sum
 from .activations import get_activation
 from .cells import cell_apply, cell_init
 from .initializers import stacked_glorot_uniform, truncated_normal
@@ -48,31 +55,37 @@ def typed_transform(h, W):
     return jnp.einsum("nd,lde->lne", h, W, preferred_element_type=jnp.float32)
 
 
-def gather_rows(table, idx):
-    """table[idx] with out-of-range indices clipped (padded receivers point
-    at the dump row n_pad, one past the end of node-indexed tables)."""
-    return jnp.take(table, idx, axis=0, mode="clip")
+def use_dense_strategy(graph: GraphBatch, aggregation: str, strategy: str) -> bool:
+    """Pick the aggregation execution strategy for LINEAR-message layers.
+
+    "dense" routes sum-aggregation through per-type dense-adjacency matmuls
+    on the MXU (ops/edge_ops.py:dense_aggregate_linear) — wins when the
+    padded graph is small enough that O(N^2 D) matmul FLOPs are cheaper
+    than O(E D) gather/scatter HBM traffic. "auto" applies an n_pad
+    threshold measured on v5e. "segment" always uses sorted segment ops.
+    """
+    if aggregation not in ("sum", "unsorted_segment_sum"):
+        return False
+    if strategy == "dense":
+        return True
+    if strategy == "segment":
+        return False
+    return graph.n_pad <= 16384  # auto
 
 
 def aggregate(messages: List[jnp.ndarray], graph: GraphBatch, aggregation: str):
-    """Scatter-aggregate per-type message lists into [n_pad, D].
-
-    Padded edges carry receiver == n_pad, so aggregating into n_pad + 1
-    segments and slicing off the dump row is exact for every aggregator
+    """Scatter-aggregate per-type message lists into [n_pad, D] using only
+    sorted segment ops over the canonical receiver-sorted edge layout
     (replaces tf.unsorted_segment_* over dynamic shapes,
-    e.g. gnns/rgcn.py:108-112).
-    """
-    msgs = jnp.concatenate(messages, axis=0)
-    rcvs = jnp.concatenate([e.receivers for e in graph.edges], axis=0)
-    agg_fn = get_aggregation_function(aggregation)
-    out = agg_fn(msgs, rcvs, graph.n_pad + 1)
-    return out[: graph.n_pad]
+    e.g. gnns/rgcn.py:108-112)."""
+    return aggregate_blocks(messages, graph, aggregation)
 
 
-def normalize_by_incoming(messages, edge_block, counts_l):
-    """1/c_{v,l} message scaling (reference: gnns/rgcn.py:100-104)."""
-    c = jnp.take(counts_l, edge_block.receivers, mode="clip")
-    return messages * (1.0 / (c + SMALL_NUMBER))[:, None]
+def normalize_by_incoming(messages, edge_block, counts_l=None):
+    """1/c_{v,l} message scaling (reference: gnns/rgcn.py:100-104).
+    The factor mask/(c + SMALL_NUMBER) is precomputed per edge on the host
+    (EdgeBlock.norm_scale)."""
+    return messages * edge_block.norm_scale[:, None]
 
 
 def _typed_linear_messages(h, W, graph, concat_target=False):
@@ -88,11 +101,11 @@ def _typed_linear_messages(h, W, graph, concat_target=False):
         t_src = typed_transform(h, W[:, :d, :])
         t_tgt = typed_transform(h, W[:, d:, :])
         return [
-            gather_rows(t_src[l], e.senders) + gather_rows(t_tgt[l], e.receivers)
+            gather_src(t_src[l], e) + gather_tgt(t_tgt[l], e)
             for l, e in enumerate(graph.edges)
         ]
     t = typed_transform(h, W)
-    return [gather_rows(t[l], e.senders) for l, e in enumerate(graph.edges)]
+    return [gather_src(t[l], e) for l, e in enumerate(graph.edges)]
 
 
 def _per_edge_dense(messages: List[jnp.ndarray], W):
@@ -125,15 +138,23 @@ def ggnn_apply(
     gated_unit_type="gru",
     activation_function="tanh",
     message_aggregation_function="sum",
+    aggregation_strategy="auto",
     **_,
 ):
     """h' = Cell(input=aggregated_messages, state=h) — note the reference
     feeds messages as the RNN *input* and node state as the *hidden state*
     (gnns/ggnn.py:92)."""
+    dense = use_dense_strategy(
+        graph, message_aggregation_function, aggregation_strategy
+    )
     c = None
     for _step in range(num_timesteps):
-        msgs = _typed_linear_messages(h, params["W"], graph)
-        agg = aggregate(msgs, graph, message_aggregation_function)
+        if dense:
+            t = typed_transform(h, params["W"])
+            agg = dense_aggregate_linear(t, graph, normalize=False)
+        else:
+            msgs = _typed_linear_messages(h, params["W"], graph)
+            agg = aggregate(msgs, graph, message_aggregation_function)
         h, c = cell_apply(
             params["cell"], gated_unit_type, agg, h, activation_function, c
         )
@@ -161,10 +182,21 @@ def rgcn_apply(
     message_aggregation_function="sum",
     normalize_by_num_incoming=True,
     use_both_source_and_target=False,
+    aggregation_strategy="auto",
     **_,
 ):
     act = get_activation(activation_function)
+    # Dense MXU strategy requires source-only linear messages (the
+    # normalization factor 1/c depends only on (receiver, type), so it
+    # folds into the adjacency values).
+    dense = not use_both_source_and_target and use_dense_strategy(
+        graph, message_aggregation_function, aggregation_strategy
+    )
     for _step in range(num_timesteps):
+        if dense:
+            t = typed_transform(h, params["W"])
+            h = act(dense_aggregate_linear(t, graph, normalize_by_num_incoming))
+            continue
         msgs = _typed_linear_messages(
             h, params["W"], graph, concat_target=use_both_source_and_target
         )
@@ -225,21 +257,19 @@ def rgat_apply(
         per_type_logits, per_type_msgs = [], []
         for l, e in enumerate(graph.edges):
             logits = jax.nn.leaky_relu(
-                gather_rows(logit_src[l], e.senders)
-                + gather_rows(logit_tgt[l], e.receivers),
+                gather_src(logit_src[l], e) + gather_tgt(logit_tgt[l], e),
                 negative_slope=0.2,  # tf.nn.leaky_relu default (rgat.py:113)
             )  # [E_l, K]
             per_type_logits.append(logits)
-            per_type_msgs.append(gather_rows(t_heads[l], e.senders))  # [E_l, K, Dh]
+            per_type_msgs.append(gather_src(t_heads[l], e))  # [E_l, K, Dh]
 
-        all_logits = jnp.concatenate(per_type_logits, axis=0)  # [M, K]
-        all_msgs = jnp.concatenate(per_type_msgs, axis=0)  # [M, K, Dh]
-        rcvs = jnp.concatenate([e.receivers for e in graph.edges], axis=0)
         # Softmax per (target node, head) over all incoming edges of all
-        # types (rgat.py:126-130); padded edges live in the dump segment.
-        attn = segment_softmax(all_logits, rcvs, n_pad + 1)  # [M, K]
-        weighted = all_msgs * attn[..., None]
-        agg = segment_sum(weighted, rcvs, n_pad + 1)[:n_pad]  # [N, K, Dh]
+        # types (rgat.py:126-130), via sorted per-type segment ops:
+        attn = segment_softmax_blocks(per_type_logits, graph)
+        agg = None
+        for m, a, e in zip(per_type_msgs, attn, graph.edges):
+            part = aggregate_sum_block(m * a[..., None], e, n_pad)
+            agg = part if agg is None else agg + part
         h = act(agg.reshape(n_pad, state_dim))
     return h
 
@@ -277,10 +307,10 @@ def gnn_film_apply(
         film = typed_transform(h, params["W_film"])  # [L, N, 2D]
         msgs = []
         for l, e in enumerate(graph.edges):
-            m = gather_rows(t[l], e.senders)
+            m = gather_src(t[l], e)
             if normalize_by_num_incoming:
-                m = normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
-            gb = gather_rows(film[l], e.receivers)  # FiLM from *target* state
+                m = normalize_by_incoming(m, e)
+            gb = gather_tgt(film[l], e)  # FiLM from *target* state
             gamma, beta = gb[:, :d], gb[:, d:]
             msgs.append(gamma * m + beta)
         msgs = [act(m) for m in msgs]  # activation on messages (film.py:112)
@@ -352,7 +382,7 @@ def rgin_apply(
             )
             msgs = [act(m) for m in msgs]  # act on MLP outputs (rgin.py:128-129)
         else:
-            msgs = [gather_rows(h, e.senders) for e in graph.edges]
+            msgs = [gather_src(h, e) for e in graph.edges]
         agg = aggregate(msgs, graph, message_aggregation_function)
         if num_aggr_MLP_hidden_layers is not None:
             from .mlp import mlp_apply
@@ -475,8 +505,6 @@ def rgdcn_apply(
         channel_dim = h.shape[-1] // num_channels
     act = get_activation(activation_function)
     W_wc = params["W_wc"]
-    agg_fn = get_aggregation_function(message_aggregation_function)
-    rcvs = jnp.concatenate([e.receivers for e in graph.edges], axis=0)
 
     for _step in range(num_timesteps):
         h_chunked = h.reshape(n_pad, num_channels, channel_dim)
@@ -495,16 +523,15 @@ def rgdcn_apply(
                         wc_in, W_wc[l, c_eff], preferred_element_type=jnp.float32
                     )
                 ).reshape(n_pad, channel_dim, channel_dim)
-                kern_e = gather_rows(kernels, e.receivers)  # kernel at *target*
-                src = gather_rows(ch_state, e.senders)
+                kern_e = gather_tgt(kernels, e)  # kernel at *target*
+                src = gather_src(ch_state, e)
                 m = jnp.einsum(
                     "ek,ekj->ej", src, kern_e, preferred_element_type=jnp.float32
                 )
                 if normalize_by_num_incoming:
-                    m = normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
+                    m = normalize_by_incoming(m, e)
                 msgs.append(m)
-            cat = jnp.concatenate(msgs, axis=0)
-            agg = agg_fn(cat, rcvs, n_pad + 1)[:n_pad]
+            agg = aggregate(msgs, graph, message_aggregation_function)
             new_channels.append(act(agg))
         h = jnp.concatenate(new_channels, axis=1)
     return h

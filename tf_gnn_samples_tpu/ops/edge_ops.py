@@ -1,0 +1,229 @@
+"""Edge-level gather/aggregate primitives with sorted-scatter backwards.
+
+TPU motivation (measured on v5e): XLA's unsorted scatter-add over ~1M edge
+rows runs at ~100 GB/s effective, the sorted variant at ~160 GB/s, and
+gathers at ~300 GB/s. Every op here is arranged so that BOTH the forward
+and the backward pass only ever execute
+  (a) gathers, and
+  (b) segment-sums over SORTED indices.
+
+This relies on the canonical `EdgeBlock` layout (ops/graph.py): edges sorted
+by receiver, plus `perm_by_sender`, the permutation that sorts the block by
+sender. The VJP of a source-side gather is a scatter-add over senders —
+re-expressed through the permutation it becomes a sorted segment-sum:
+
+    d/dT [ T[snd_e] ]  =  scatter_add(G, snd)          (unsorted, slow)
+                       =  segment_sum(G[perm], snd[perm], sorted)  (fast)
+
+These replace the reference's tf.gather / tf.unsorted_segment_* hot pair
+(e.g. gnns/rgcn.py:92-112) — same math, TPU-shaped execution.
+"""
+
+
+
+import jax
+import jax.numpy as jnp
+
+from .graph import EdgeBlock
+
+
+def _sorted_segment_sum(data, segment_ids, num_segments):
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gathers with sorted-scatter VJPs
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gather_permuted(table, idx, perm, idx_sorted):
+    """table[idx] whose VJP scatters via the sorted order: idx[perm] must
+    equal idx_sorted (ascending)."""
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
+def _gather_permuted_fwd(table, idx, perm, idx_sorted):
+    out = jnp.take(table, idx, axis=0, mode="clip")
+    return out, (perm, idx_sorted, table.shape[0])
+
+
+def _gather_permuted_bwd(res, g):
+    perm, idx_sorted, num_rows = res
+    d_table = _sorted_segment_sum(
+        jnp.take(g, perm, axis=0), idx_sorted, num_rows + 1
+    )[:num_rows]
+    return (d_table, None, None, None)
+
+
+_gather_permuted.defvjp(_gather_permuted_fwd, _gather_permuted_bwd)
+
+
+@jax.custom_vjp
+def _gather_sorted(table, idx_sorted):
+    """table[idx] for ALREADY-SORTED idx; VJP is a sorted segment-sum."""
+    return jnp.take(table, idx_sorted, axis=0, mode="clip")
+
+
+def _gather_sorted_fwd(table, idx_sorted):
+    out = jnp.take(table, idx_sorted, axis=0, mode="clip")
+    return out, (idx_sorted, table.shape[0])
+
+
+def _gather_sorted_bwd(res, g):
+    idx_sorted, num_rows = res
+    d_table = _sorted_segment_sum(g, idx_sorted, num_rows + 1)[:num_rows]
+    return (d_table, None)
+
+
+_gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
+
+
+def gather_src(table, block: EdgeBlock):
+    """table[senders] — bwd is a sorted segment-sum via perm_by_sender.
+
+    Padded senders point at n_pad and are clipped (their contribution is
+    killed by mask/scale downstream)."""
+    snd_sorted = jnp.take(block.senders, block.perm_by_sender)
+    return _gather_permuted(table, block.senders, block.perm_by_sender, snd_sorted)
+
+
+def gather_tgt(table, block: EdgeBlock):
+    """table[receivers] — receivers are already sorted, so the bwd
+    segment-sum is sorted with no permutation."""
+    return _gather_sorted(table, block.receivers)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation over the canonical (receiver-sorted) order
+# ---------------------------------------------------------------------------
+
+
+def aggregate_sum_block(messages, block: EdgeBlock, n_pad: int):
+    """Sum per-edge messages into receiver rows. [E, ...] -> [n_pad, ...].
+
+    Sorted forward; the VJP of segment_sum is a gather (already fast)."""
+    return _sorted_segment_sum(messages, block.receivers, n_pad + 1)[:n_pad]
+
+
+def aggregate_blocks(per_type_messages, graph, aggregation: str):
+    """Aggregate per-type message lists into [n_pad, D] under the named
+    aggregation (reference: utils/utils.py:23-33). Sum-family aggregations
+    decompose per type (sum of per-type sorted segment-sums); max takes a
+    per-type sorted segment-max then an elementwise max across types."""
+    # Padded edges always carry receiver == n_pad, landing in the dump row
+    # that is sliced off — no per-edge masking needed in the hot path.
+    n_pad = graph.n_pad
+    if aggregation in ("sum", "unsorted_segment_sum"):
+        out = None
+        for m, e in zip(per_type_messages, graph.edges):
+            part = aggregate_sum_block(m, e, n_pad)
+            out = part if out is None else out + part
+        return out
+    if aggregation in ("mean", "unsorted_segment_mean",
+                       "sqrt_n", "unsorted_segment_sqrt_n"):
+        total = None
+        count = None
+        for m, e in zip(per_type_messages, graph.edges):
+            part = aggregate_sum_block(m, e, n_pad)
+            cnt = _sorted_segment_sum(e.mask, e.receivers, n_pad + 1)[:n_pad]
+            total = part if total is None else total + part
+            count = cnt if count is None else count + cnt
+        count = jnp.maximum(count, 1.0)
+        if aggregation.endswith("sqrt_n"):
+            count = jnp.sqrt(count)
+        return total / count[:, None]
+    if aggregation in ("max", "unsorted_segment_max"):
+        out = None
+        neg = jnp.finfo(per_type_messages[0].dtype).min
+        for m, e in zip(per_type_messages, graph.edges):
+            part = jax.ops.segment_max(
+                m, e.receivers, n_pad + 1, indices_are_sorted=True
+            )[:n_pad]
+            out = part if out is None else jnp.maximum(out, part)
+        return jnp.maximum(out, neg)  # empty segments -> dtype min (TF parity)
+    raise ValueError("Unknown aggregation function '%s'!" % aggregation)
+
+
+def dense_adjacency(graph, normalize: bool, dtype=jnp.float32):
+    """Materialize per-type dense adjacency matrices A_l [n_pad, n_pad] with
+    A_l[v, u] = (number of type-l edges u->v), or the 1/c_{v,l}-normalized
+    variant. Built on device by a scalar scatter-add (E float writes — cheap
+    next to edge-level feature traffic); padded edges (receiver == n_pad)
+    are dropped by out-of-bounds scatter semantics.
+
+    This turns sum-aggregation of LINEAR messages into an MXU matmul:
+        aggregate_l(W_l h) == A_l @ (h @ W_l)
+    — the TPU-native strategy for small-to-medium padded graphs where
+    O(N^2 D) matmul beats O(E D) gather/scatter memory traffic.
+    """
+    mats = []
+    for e in graph.edges:
+        vals = (e.norm_scale if normalize else e.mask).astype(dtype)
+        A = jnp.zeros((graph.n_pad, graph.n_pad), dtype=dtype)
+        A = A.at[e.receivers, e.senders].add(vals, mode="drop")
+        mats.append(A)
+    return mats
+
+
+def dense_aggregate_linear(transformed, graph, normalize: bool,
+                           matmul_dtype=jnp.float32):
+    """Sum-aggregate per-type LINEAR messages via dense adjacency matmuls.
+
+    transformed: [L, N, D] per-type transformed node states (so that the
+    message along a type-l edge u->v is transformed[l, u]).
+    Returns [N, D], numerically the sum-aggregation of gathered messages
+    (modulo float reassociation in the matmul reduction).
+    """
+    mats = dense_adjacency(graph, normalize, dtype=matmul_dtype)
+    out = None
+    for l, A in enumerate(mats):
+        t = transformed[l].astype(matmul_dtype)
+        part = jnp.dot(A, t, preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    return out
+
+
+def segment_softmax_blocks(per_type_logits, graph):
+    """Softmax over all incoming edges of a node across edge types
+    (reference RGAT semantics, gnns/rgat.py:126-130), computed with only
+    sorted segment ops and dense [N]-sized combines.
+
+    per_type_logits: list of [E_l, ...] logit arrays (trailing dims = heads).
+    Returns a matching list of attention weights; padded edges get 0.
+    """
+    n_pad = graph.n_pad
+    neg = jnp.finfo(per_type_logits[0].dtype).min
+
+    # 1) global per-receiver max across types:
+    maxes = []
+    for lg, e in zip(per_type_logits, graph.edges):
+        masked = jnp.where(e.mask.reshape(e.mask.shape + (1,) * (lg.ndim - 1)) > 0,
+                           lg, neg)
+        m = jax.ops.segment_max(
+            masked, e.receivers, n_pad + 1, indices_are_sorted=True
+        )[:n_pad]
+        maxes.append(m)
+    gmax = maxes[0]
+    for m in maxes[1:]:
+        gmax = jnp.maximum(gmax, m)
+    gmax = jnp.maximum(gmax, neg)  # kill -inf on isolated nodes
+
+    # 2) per-type exp(logit - gmax) and the global denominator:
+    exps, denom = [], None
+    for lg, e in zip(per_type_logits, graph.edges):
+        shift = gather_tgt(gmax, e)
+        mask = e.mask.reshape(e.mask.shape + (1,) * (lg.ndim - 1))
+        ex = jnp.exp(lg - shift) * mask
+        exps.append(ex)
+        d = aggregate_sum_block(ex, e, n_pad)
+        denom = d if denom is None else denom + d
+
+    # 3) normalize per edge:
+    small = 1e-7  # SMALL_NUMBER
+    out = []
+    for ex, e in zip(exps, graph.edges):
+        out.append(ex / (gather_tgt(denom, e) + small))
+    return out

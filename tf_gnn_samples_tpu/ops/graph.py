@@ -30,16 +30,22 @@ import jax.numpy as jnp
 
 
 class EdgeBlock(NamedTuple):
-    """All edges of one edge type, padded to a static size.
+    """All edges of one edge type, padded to a static size and CANONICALIZED:
+    edges are sorted by receiver (padding, with receiver == n_pad, sorts to
+    the end). `perm_by_sender` is the permutation that re-orders the block by
+    sender — it makes the *backward* scatter of a source-side gather a sorted
+    segment-sum (see ops/edge_ops.py).
 
     Equivalent information to one reference `adjacency_lists[l]` [E, 2]
     int32 tensor (senders in column 0, receivers in column 1; see
     tasks/sparse_graph_task.py:123-127).
     """
 
-    senders: jnp.ndarray  # [E_l] int32; padding -> 0
-    receivers: jnp.ndarray  # [E_l] int32; padding -> n_pad (dump row)
+    senders: jnp.ndarray  # [E_l] int32; padding -> n_pad (safe via clip/scale 0)
+    receivers: jnp.ndarray  # [E_l] int32 SORTED ascending; padding -> n_pad
     mask: jnp.ndarray  # [E_l] float32; 1.0 = real edge
+    perm_by_sender: jnp.ndarray  # [E_l] int32; senders[perm] is sorted
+    norm_scale: jnp.ndarray  # [E_l] f32; mask / (c_{rcv, l} + SMALL_NUMBER)
 
 
 class GraphBatch(NamedTuple):
@@ -136,19 +142,26 @@ def pad_graph_batch(
     counts = np.zeros((L, n_pad), dtype=np.float32)
     counts[:, :n] = typed_incoming_counts
 
+    small = 1e-7  # SMALL_NUMBER (avoid circular import)
     edges = []
     for l, adj in enumerate(adjacency_lists):
         e = int(adj.shape[0])
         e_pad = int(e_pads[l])
         assert e_pad >= e, (l, e_pad, e)
-        snd = np.zeros((e_pad,), dtype=np.int32)
+        snd = np.full((e_pad,), n_pad, dtype=np.int32)
         rcv = np.full((e_pad,), n_pad, dtype=np.int32)
         msk = np.zeros((e_pad,), dtype=np.float32)
         if e:
-            snd[:e] = adj[:, 0]
-            rcv[:e] = adj[:, 1]
+            # Canonical order: sorted by receiver (stable), padding last.
+            order = np.argsort(adj[:, 1], kind="stable")
+            snd[:e] = adj[order, 0]
+            rcv[:e] = adj[order, 1]
             msk[:e] = 1.0
-        edges.append(EdgeBlock(senders=snd, receivers=rcv, mask=msk))
+        perm = np.argsort(snd, kind="stable").astype(np.int32)
+        c = counts[l][np.minimum(rcv, n_pad - 1)] if n_pad > 0 else np.zeros(e_pad)
+        norm = (msk / (c + small)).astype(np.float32)
+        edges.append(EdgeBlock(senders=snd, receivers=rcv, mask=msk,
+                               perm_by_sender=perm, norm_scale=norm))
 
     graph_mask = np.zeros((g_pad,), dtype=np.float32)
     graph_mask[:num_graphs] = 1.0

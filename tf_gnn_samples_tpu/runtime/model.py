@@ -143,7 +143,9 @@ class SparseGraphModel(ABC):
         self.opt_state = self._optimizer.init(self.model_params_tree)
         self._jitted_train_step = None
         self._jitted_eval_step = None
+        self._jitted_epoch_fns = None
         self._batch_cache: Dict[Any, List[TaskBatch]] = {}
+        self._stacked_cache: Dict[Any, TaskBatch] = {}
 
     # -------------------- files --------------------
 
@@ -235,6 +237,49 @@ class SparseGraphModel(ABC):
 
         return jax.jit(step)
 
+    # -------------------- whole-epoch scan (device-resident data) ----------
+
+    def _make_epoch_fns(self):
+        """One-dispatch epochs: lax.scan the train/eval step over the fold's
+        stacked device-resident batches. Removes per-step host dispatch
+        latency entirely and lets XLA software-pipeline steps — the natural
+        endpoint of the static-shape batch design (requires
+        cache_batches_on_device; all batches of a fold share one shape)."""
+
+        def train_epoch(params, opt_state, rng, stacked: TaskBatch):
+            def body(carry, batch):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda p: self._forward(p, batch, sub), has_aux=True
+                )(params)
+                grads = clip_grads_per_tensor(
+                    grads, self.params["clamp_gradient_norm"]
+                )
+                lr = self._effective_lr(batch.graph.num_graphs)
+                params, opt_state = self._optimizer.update(
+                    grads, opt_state, params, lr
+                )
+                return (params, opt_state, rng), metrics
+
+            (params, opt_state, _), metrics = jax.lax.scan(
+                body, (params, opt_state, rng), stacked
+            )
+            return params, opt_state, metrics
+
+        def eval_epoch(params, stacked: TaskBatch):
+            def body(carry, batch):
+                _, metrics = self._forward(params, batch, None)
+                return carry, metrics
+
+            _, metrics = jax.lax.scan(body, (), stacked)
+            return metrics
+
+        return (
+            jax.jit(train_epoch, donate_argnums=(0, 1)),
+            jax.jit(eval_epoch),
+        )
+
     # -------------------- save / load --------------------
 
     def save_model(self, path: str) -> None:
@@ -282,15 +327,21 @@ class SparseGraphModel(ABC):
         cache_on_device = self.params.get("cache_batches_on_device", False)
         cached = self._batch_cache.get(data_fold) if cache_on_device else None
         if cached is not None:
+            if self.params.get("scan_epochs", False):
+                # One-dispatch epochs; pays a large one-time scan compile,
+                # worthwhile on direct-attached chips with many epochs.
+                return self._run_epoch_scanned(cached, data_fold)
             order = np.arange(len(cached))
             if data_fold == DataFold.TRAIN:
                 np.random.shuffle(order)
             batch_iterator = (cached[i] for i in order)
+            already_on_device = True
         else:
             batch_iterator = self.task.make_minibatch_iterator(
                 data, data_fold, self.params["max_nodes_in_batch"]
             )
             batch_iterator = ThreadedIterator(batch_iterator, max_queue_size=5)
+            already_on_device = False
 
         if self._jitted_train_step is None:
             self._jitted_train_step = self._make_train_step()
@@ -307,8 +358,8 @@ class SparseGraphModel(ABC):
             processed_graphs += int(batch.num_graphs)
             processed_nodes += int(batch.num_nodes)
             processed_edges += int(batch.num_edges)
-            if cached is not None:
-                dev_batch = batch  # already device-resident
+            if already_on_device:
+                dev_batch = batch
             else:
                 dev_batch = self._device_batch(batch)
                 if cache_on_device:
@@ -332,7 +383,7 @@ class SparseGraphModel(ABC):
                 )
 
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
-        if cache_on_device and cached is None:
+        if cache_on_device and not already_on_device:
             self._batch_cache[data_fold] = to_cache
         # Single host sync at epoch end: fetch all metric scalars at once.
         host_metrics = jax.device_get(device_metrics)
@@ -358,6 +409,67 @@ class SparseGraphModel(ABC):
             graphs_per_sec,
             nodes_per_sec,
             edges_per_sec,
+        )
+
+    def _run_epoch_scanned(
+        self, cached: List[TaskBatch], data_fold: DataFold
+    ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        """Epoch over device-resident batches in ONE device dispatch via
+        lax.scan (see _make_epoch_fns). TRAIN reshuffles batch order per
+        epoch (graph-to-batch packing is frozen once cached)."""
+        start_time = time.time()
+        if self._jitted_epoch_fns is None:
+            self._jitted_epoch_fns = self._make_epoch_fns()
+        train_epoch_fn, eval_epoch_fn = self._jitted_epoch_fns
+
+        stacked = self._stacked_cache.get(data_fold)
+        if stacked is None:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(
+                    [jnp.asarray(x) for x in xs], axis=0
+                ),
+                *cached,
+            )
+            self._stacked_cache[data_fold] = stacked
+
+        if data_fold == DataFold.TRAIN:
+            order = np.arange(len(cached))
+            np.random.shuffle(order)
+            perm = jnp.asarray(order)
+            xs = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, perm, axis=0), stacked
+            )
+            rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
+            self.model_params_tree, self.opt_state, metrics = train_epoch_fn(
+                self.model_params_tree, self.opt_state, rng, xs
+            )
+            counts_order = order
+        else:
+            metrics = eval_epoch_fn(self.model_params_tree, stacked)
+            counts_order = np.arange(len(cached))
+
+        host_metrics = jax.device_get(metrics)  # dict of [B] arrays
+        n_batches = len(cached)
+        task_metric_results = [
+            {k: np.asarray(v[i]) for k, v in host_metrics.items()}
+            for i in range(n_batches)
+        ]
+        batch_graph_counts = [int(cached[i].num_graphs) for i in counts_order]
+        processed_graphs = sum(int(b.num_graphs) for b in cached)
+        processed_nodes = sum(int(b.num_nodes) for b in cached)
+        processed_edges = sum(int(b.num_edges) for b in cached)
+        epoch_loss = float(sum(
+            float(m["loss"]) * n
+            for m, n in zip(task_metric_results, batch_graph_counts)
+        ))
+        epoch_time = time.time() - start_time
+        return (
+            epoch_loss / processed_graphs,
+            task_metric_results,
+            processed_graphs,
+            processed_graphs / epoch_time,
+            processed_nodes / epoch_time,
+            processed_edges / epoch_time,
         )
 
     # -------------------- train / test --------------------
