@@ -33,11 +33,14 @@ import jax.numpy as jnp
 from .. import SMALL_NUMBER
 from ..ops.edge_ops import (
     aggregate_blocks,
-    aggregate_sum_block,
+    aggregate_flat,
+    aggregate_flat_sum,
     dense_aggregate_linear,
+    gather_flat_src,
+    gather_flat_tgt,
     gather_src,
     gather_tgt,
-    segment_softmax_blocks,
+    segment_softmax_flat,
 )
 from ..ops.graph import GraphBatch
 from .activations import get_activation
@@ -108,6 +111,25 @@ def _typed_linear_messages(h, W, graph, concat_target=False):
     return [gather_src(t[l], e) for l, e in enumerate(graph.edges)]
 
 
+def _flat(t):
+    """[L, N, ...] type-stacked node table -> [L*N, ...] flat table."""
+    return t.reshape((t.shape[0] * t.shape[1],) + t.shape[2:])
+
+
+def _flat_linear_messages(h, W, graph, concat_target=False):
+    """Flat-stream variant of _typed_linear_messages: one gather over the
+    whole edge stream instead of L per-type gathers — the compute graph no
+    longer scales with the number of edge types."""
+    if concat_target:
+        d = h.shape[-1]
+        t_src = _flat(typed_transform(h, W[:, :d, :]))
+        t_tgt = _flat(typed_transform(h, W[:, d:, :]))
+        return gather_flat_src(t_src, graph.flat) + gather_flat_tgt(
+            t_tgt, graph.flat
+        )
+    return gather_flat_src(_flat(typed_transform(h, W)), graph.flat)
+
+
 def _per_edge_dense(messages: List[jnp.ndarray], W):
     """Apply a stacked [L, D_in, D_out] weight per-edge (post-nonlinearity
     MLP layers, where the node-side trick no longer applies)."""
@@ -153,8 +175,10 @@ def ggnn_apply(
             t = typed_transform(h, params["W"])
             agg = dense_aggregate_linear(t, graph, normalize=False)
         else:
-            msgs = _typed_linear_messages(h, params["W"], graph)
-            agg = aggregate(msgs, graph, message_aggregation_function)
+            msgs = _flat_linear_messages(h, params["W"], graph)
+            agg = aggregate_flat(
+                msgs, graph.flat, graph.n_pad, message_aggregation_function
+            )
         h, c = cell_apply(
             params["cell"], gated_unit_type, agg, h, activation_function, c
         )
@@ -197,15 +221,14 @@ def rgcn_apply(
             t = typed_transform(h, params["W"])
             h = act(dense_aggregate_linear(t, graph, normalize_by_num_incoming))
             continue
-        msgs = _typed_linear_messages(
+        msgs = _flat_linear_messages(
             h, params["W"], graph, concat_target=use_both_source_and_target
         )
         if normalize_by_num_incoming:
-            msgs = [
-                normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
-                for l, (m, e) in enumerate(zip(msgs, graph.edges))
-            ]
-        h = act(aggregate(msgs, graph, message_aggregation_function))
+            msgs = msgs * graph.flat.norm_scale[:, None]
+        h = act(aggregate_flat(
+            msgs, graph.flat, graph.n_pad, message_aggregation_function
+        ))
     return h
 
 
@@ -254,22 +277,19 @@ def rgat_apply(
         logit_src = jnp.einsum("lnkd,lkd->lnk", t_heads, att_src)
         logit_tgt = jnp.einsum("lnkd,lkd->lnk", t_heads, att_tgt)
 
-        per_type_logits, per_type_msgs = [], []
-        for l, e in enumerate(graph.edges):
-            logits = jax.nn.leaky_relu(
-                gather_src(logit_src[l], e) + gather_tgt(logit_tgt[l], e),
-                negative_slope=0.2,  # tf.nn.leaky_relu default (rgat.py:113)
-            )  # [E_l, K]
-            per_type_logits.append(logits)
-            per_type_msgs.append(gather_src(t_heads[l], e))  # [E_l, K, Dh]
+        # Per-edge logits and messages over the flat stream (one gather
+        # each, regardless of the number of edge types):
+        logits = jax.nn.leaky_relu(
+            gather_flat_src(_flat(logit_src), graph.flat)
+            + gather_flat_tgt(_flat(logit_tgt), graph.flat),
+            negative_slope=0.2,  # tf.nn.leaky_relu default (rgat.py:113)
+        )  # [E_tot, K]
+        msgs = gather_flat_src(_flat(t_heads), graph.flat)  # [E_tot, K, Dh]
 
         # Softmax per (target node, head) over all incoming edges of all
-        # types (rgat.py:126-130), via sorted per-type segment ops:
-        attn = segment_softmax_blocks(per_type_logits, graph)
-        agg = None
-        for m, a, e in zip(per_type_msgs, attn, graph.edges):
-            part = aggregate_sum_block(m * a[..., None], e, n_pad)
-            agg = part if agg is None else agg + part
+        # types (rgat.py:126-130):
+        attn = segment_softmax_flat(logits, graph.flat, n_pad)
+        agg = aggregate_flat_sum(msgs * attn[..., None], graph.flat, n_pad)
         h = act(agg.reshape(n_pad, state_dim))
     return h
 
@@ -305,16 +325,16 @@ def gnn_film_apply(
     for _step in range(num_timesteps):
         t = typed_transform(h, params["W"])  # [L, N, D]
         film = typed_transform(h, params["W_film"])  # [L, N, 2D]
-        msgs = []
-        for l, e in enumerate(graph.edges):
-            m = gather_src(t[l], e)
-            if normalize_by_num_incoming:
-                m = normalize_by_incoming(m, e)
-            gb = gather_tgt(film[l], e)  # FiLM from *target* state
-            gamma, beta = gb[:, :d], gb[:, d:]
-            msgs.append(gamma * m + beta)
-        msgs = [act(m) for m in msgs]  # activation on messages (film.py:112)
-        agg = aggregate(msgs, graph, message_aggregation_function)
+        # Flat stream: one src gather + one tgt gather for ALL edge types.
+        m = gather_flat_src(_flat(t), graph.flat)
+        if normalize_by_num_incoming:
+            m = m * graph.flat.norm_scale[:, None]
+        gb = gather_flat_tgt(_flat(film), graph.flat)  # FiLM from *target*
+        gamma, beta = gb[:, :d], gb[:, d:]
+        msgs = act(gamma * m + beta)  # activation on messages (film.py:112)
+        agg = aggregate_flat(
+            msgs, graph.flat, graph.n_pad, message_aggregation_function
+        )
         h = layer_norm(params["ln"], agg)  # unconditional LN (film.py:120)
     return h
 

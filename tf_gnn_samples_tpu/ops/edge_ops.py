@@ -147,6 +147,73 @@ def aggregate_blocks(per_type_messages, graph, aggregation: str):
     raise ValueError("Unknown aggregation function '%s'!" % aggregation)
 
 
+# ---------------------------------------------------------------------------
+# Flat-stream variants (type-count-independent compute graphs)
+# ---------------------------------------------------------------------------
+
+
+def gather_flat_src(table_flat, flat):
+    """table_flat[[L*N, ...]][src_flat] — per-edge source-side value from a
+    type-stacked node table; bwd is a sorted segment-sum via perm_by_src."""
+    idx_sorted = jnp.take(flat.src_flat, flat.perm_by_src)
+    return _gather_permuted(table_flat, flat.src_flat, flat.perm_by_src, idx_sorted)
+
+
+def gather_flat_tgt(table_flat, flat):
+    """table_flat[[L*N, ...]][tgt_flat]; bwd sorted via perm_by_tgt."""
+    idx_sorted = jnp.take(flat.tgt_flat, flat.perm_by_tgt)
+    return _gather_permuted(table_flat, flat.tgt_flat, flat.perm_by_tgt, idx_sorted)
+
+
+def gather_node_tgt(table, flat):
+    """table[[N, ...]][receivers] — type-independent target-side gather;
+    receivers are globally sorted so the bwd needs no permutation."""
+    return _gather_sorted(table, flat.receivers)
+
+
+def aggregate_flat_sum(messages, flat, n_pad: int):
+    """Sum per-edge messages into receiver rows over the WHOLE edge stream
+    — one sorted segment-sum for all edge types."""
+    return _sorted_segment_sum(messages, flat.receivers, n_pad + 1)[:n_pad]
+
+
+def aggregate_flat(messages, flat, n_pad: int, aggregation: str):
+    """Named aggregation (utils/utils.py:23-33) over the flat edge stream."""
+    if aggregation in ("sum", "unsorted_segment_sum"):
+        return aggregate_flat_sum(messages, flat, n_pad)
+    if aggregation in ("mean", "unsorted_segment_mean",
+                       "sqrt_n", "unsorted_segment_sqrt_n"):
+        total = aggregate_flat_sum(messages, flat, n_pad)
+        count = _sorted_segment_sum(flat.mask, flat.receivers, n_pad + 1)[:n_pad]
+        count = jnp.maximum(count, 1.0)
+        if aggregation.endswith("sqrt_n"):
+            count = jnp.sqrt(count)
+        return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
+    if aggregation in ("max", "unsorted_segment_max"):
+        out = jax.ops.segment_max(
+            messages, flat.receivers, n_pad + 1, indices_are_sorted=True
+        )[:n_pad]
+        return jnp.maximum(out, jnp.finfo(messages.dtype).min)
+    raise ValueError("Unknown aggregation function '%s'!" % aggregation)
+
+
+def segment_softmax_flat(logits, flat, n_pad: int):
+    """Softmax per receiver over all incoming edges of all types
+    (reference RGAT semantics, gnns/rgat.py:126-130) on the flat stream:
+    one sorted segment-max + one sorted segment-sum."""
+    neg = jnp.finfo(logits.dtype).min
+    mask = flat.mask.reshape(flat.mask.shape + (1,) * (logits.ndim - 1))
+    masked = jnp.where(mask > 0, logits, neg)
+    gmax = jax.ops.segment_max(
+        masked, flat.receivers, n_pad + 1, indices_are_sorted=True
+    )[:n_pad]
+    gmax = jnp.maximum(gmax, neg)
+    ex = jnp.exp(logits - gather_node_tgt(gmax, flat)) * mask
+    denom = aggregate_flat_sum(ex, flat, n_pad)
+    small = 1e-7  # SMALL_NUMBER
+    return ex / (gather_node_tgt(denom, flat) + small)
+
+
 def dense_adjacency(graph, normalize: bool, dtype=jnp.float32):
     """Materialize per-type dense adjacency matrices A_l [n_pad, n_pad] with
     A_l[v, u] = (number of type-l edges u->v), or the 1/c_{v,l}-normalized

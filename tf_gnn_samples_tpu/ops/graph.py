@@ -48,6 +48,33 @@ class EdgeBlock(NamedTuple):
     norm_scale: jnp.ndarray  # [E_l] f32; mask / (c_{rcv, l} + SMALL_NUMBER)
 
 
+class FlatEdges(NamedTuple):
+    """ALL edges of the batch as one flat stream, globally sorted by
+    receiver. Type information is carried as offsets into type-stacked node
+    tables: a [L, N, D] per-type transform reshaped to [L*N, D] is indexed
+    by `src_flat = type * n_pad + sender` (and `tgt_flat` analogously).
+
+    This removes every per-edge-type Python loop from the compute graph of
+    layers whose per-edge math is type-independent given type-indexed node
+    tables (GGNN, RGCN, RGAT, GNN-FiLM): one gather + one sorted
+    segment-sum regardless of L. XLA graph size — and compile time — stops
+    scaling with the number of edge types (22+ for VarMisuse).
+
+    perm_by_src / perm_by_tgt sort the stream by src_flat / tgt_flat; they
+    make the backward scatters of the corresponding gathers sorted
+    segment-sums (see ops/edge_ops.py).
+    """
+
+    src_flat: jnp.ndarray  # [E_tot] int32; padding -> L * n_pad (clip)
+    tgt_flat: jnp.ndarray  # [E_tot] int32
+    receivers: jnp.ndarray  # [E_tot] int32 SORTED; padding -> n_pad
+    edge_type: jnp.ndarray  # [E_tot] int32
+    mask: jnp.ndarray  # [E_tot] float32
+    norm_scale: jnp.ndarray  # [E_tot] float32
+    perm_by_src: jnp.ndarray  # [E_tot] int32
+    perm_by_tgt: jnp.ndarray  # [E_tot] int32
+
+
 class GraphBatch(NamedTuple):
     """A batch of disconnected graphs packed into one padded mega-graph.
 
@@ -60,6 +87,7 @@ class GraphBatch(NamedTuple):
     node_mask: jnp.ndarray  # [N] float32; 1.0 = real node
     node_graph_ids: jnp.ndarray  # [N] int32 in [0, G]; padding -> G (dump)
     edges: Tuple[EdgeBlock, ...]  # L static-length tuple
+    flat: FlatEdges  # all edges, globally receiver-sorted
     typed_incoming_counts: jnp.ndarray  # [L, N] float32 (c_{v,l})
     graph_mask: jnp.ndarray  # [G] float32; 1.0 = real graph
     num_graphs: jnp.ndarray  # [] int32, real graph count
@@ -166,11 +194,38 @@ def pad_graph_batch(
     graph_mask = np.zeros((g_pad,), dtype=np.float32)
     graph_mask[:num_graphs] = 1.0
 
+    # Flat global edge stream (see FlatEdges):
+    all_snd = np.concatenate([e.senders for e in edges])
+    all_rcv = np.concatenate([e.receivers for e in edges])
+    all_msk = np.concatenate([e.mask for e in edges])
+    all_norm = np.concatenate([e.norm_scale for e in edges])
+    all_type = np.concatenate([
+        np.full(e.senders.shape[0], l, dtype=np.int32)
+        for l, e in enumerate(edges)
+    ])
+    order = np.argsort(all_rcv, kind="stable")
+    src_flat = (all_type * np.int32(n_pad) + np.minimum(all_snd, n_pad - 1))
+    # Padded edges must stay clippable/droppable in [0, L*n_pad]:
+    src_flat = np.where(all_msk > 0, src_flat, L * n_pad).astype(np.int32)
+    tgt_flat = (all_type * np.int32(n_pad) + np.minimum(all_rcv, n_pad - 1))
+    tgt_flat = np.where(all_msk > 0, tgt_flat, L * n_pad).astype(np.int32)
+    flat = FlatEdges(
+        src_flat=src_flat[order],
+        tgt_flat=tgt_flat[order],
+        receivers=all_rcv[order],
+        edge_type=all_type[order],
+        mask=all_msk[order],
+        norm_scale=all_norm[order],
+        perm_by_src=np.argsort(src_flat[order], kind="stable").astype(np.int32),
+        perm_by_tgt=np.argsort(tgt_flat[order], kind="stable").astype(np.int32),
+    )
+
     return GraphBatch(
         node_features=feats,
         node_mask=node_mask,
         node_graph_ids=gids,
         edges=tuple(edges),
+        flat=flat,
         typed_incoming_counts=counts,
         graph_mask=graph_mask,
         num_graphs=np.int32(num_graphs),
