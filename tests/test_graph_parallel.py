@@ -1,0 +1,111 @@
+"""Graph-parallel (partitioned mega-graph) correctness tests on the
+virtual multi-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from tf_gnn_samples_tpu.nn.layers import rgcn_init, rgcn_apply
+from tf_gnn_samples_tpu.ops.graph import pad_graph_batch
+from tf_gnn_samples_tpu.parallel.data_parallel import make_mesh
+from tf_gnn_samples_tpu.parallel.graph_parallel import (
+    make_gp_train_step,
+    partition_graph,
+    gp_rgcn_layer,
+)
+from tf_gnn_samples_tpu.runtime.optimizers import Optimizer
+
+
+def _random_typed_graph(n=96, L=3, seed=0):
+    rng = np.random.RandomState(seed)
+    adj = []
+    for l in range(L):
+        e = rng.randint(n, 3 * n)
+        adj.append(rng.randint(0, n, size=(e, 2)).astype(np.int32))
+    feats = rng.randn(n, 16).astype(np.float32)
+    return feats, adj
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_rgcn_matches_single_device():
+    """A partitioned RGCN layer must reproduce the single-device layer
+    exactly (same graph, same weights)."""
+    P_DEV = 4
+    feats, adj = _random_typed_graph()
+    n, d = feats.shape
+    L = len(adj)
+
+    key = jax.random.PRNGKey(0)
+    params = rgcn_init(key, L, d)
+
+    # Single-device reference over the padded GraphBatch:
+    batch = pad_graph_batch(feats, adj, np.zeros(n, np.int32), 1, n_pad=128)
+    h0 = jnp.asarray(batch.node_features)
+    ref = rgcn_apply(
+        params, jax.tree_util.tree_map(jnp.asarray, batch), h0,
+        activation_function="relu", aggregation_strategy="segment",
+    )[:n]
+
+    # Partitioned version — note the partitioner re-pads nodes per device,
+    # so feed it the SAME padded feature table for bit-comparable input:
+    shards, n_local, n_global = partition_graph(feats, adj, P_DEV)
+    mesh = make_mesh(P_DEV, axis_name="gp")
+
+    def fwd(shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        out = gp_rgcn_layer(
+            params["W"], shard, shard.node_features @ jnp.eye(d),
+            "gp", jax.nn.relu,
+        )
+        return out[None]
+
+    sharded = shard_map(
+        fwd, mesh=mesh, in_specs=(P("gp"),), out_specs=P("gp"),
+        check_vma=False,
+    )
+    out = jax.jit(sharded)(jax.tree_util.tree_map(jnp.asarray, shards))
+    out = out.reshape(n_global, d)[:n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_train_step_decreases_loss():
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=120, seed=1)
+    n, d = feats.shape
+    L = len(adj)
+    num_labels = 5
+    rng = np.random.RandomState(0)
+
+    shards, n_local, n_global = partition_graph(feats, adj, P_DEV)
+    labels_full = (rng.rand(n_global, num_labels) < 0.3).astype(np.float32)
+    labels = labels_full.reshape(P_DEV, n_local, num_labels)
+
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = 32
+    params = {
+        "proj": jax.random.normal(k1, (d, hidden)) * 0.1,
+        "layers": [
+            {"W": rgcn_init(jax.random.fold_in(k2, i), L, hidden)["W"]}
+            for i in range(2)
+        ],
+        "out": jax.random.normal(k3, (hidden, num_labels)) * 0.1,
+    }
+    opt = Optimizer("adam", {})
+    opt_state = opt.init(params)
+    mesh = make_mesh(P_DEV, axis_name="gp")
+    step = make_gp_train_step("rgcn", 2, num_labels, opt, 1.0, mesh)
+
+    dev_shards = jax.tree_util.tree_map(jnp.asarray, shards)
+    losses = []
+    p, o = params, opt_state
+    for i in range(20):
+        p, o, loss = step(p, o, dev_shards, jnp.asarray(labels), 0.01)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

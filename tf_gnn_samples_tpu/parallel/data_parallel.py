@@ -22,7 +22,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..runtime.optimizers import clip_grads_per_tensor
@@ -103,7 +103,7 @@ def make_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis_name)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
 
@@ -124,6 +124,6 @@ def make_dp_eval_step(model, mesh: Mesh, axis_name: str = "dp"):
         mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

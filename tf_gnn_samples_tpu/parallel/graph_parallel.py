@@ -1,0 +1,282 @@
+"""Graph parallelism: one graph batch partitioned ACROSS devices.
+
+NEW capability (the reference is strictly single-device; a graph larger
+than `max_nodes_in_batch` is simply unhandled there — SURVEY.md §5
+"long-context analogue"). This module shards the mega-graph itself:
+
+* Nodes are partitioned contiguously across the mesh axis: device p owns
+  global nodes [p*Nl, (p+1)*Nl) and their states h_local [Nl, D].
+* Edges live on their RECEIVER's device, so aggregation is purely local.
+* Each message-passing layer all-gathers the (transform-relevant) node
+  states over ICI — the graph-world analogue of ring-attention's feature
+  exchange — then gathers sources from the full table and scatter-sums
+  into local receivers. Communication per layer = N x D per device pair
+  via one `all_gather` collective; XLA lowers it onto ICI links.
+* Gradients flow through the collective (all_gather's transpose is
+  reduce-scatter, inserted automatically), and optimizer updates run on
+  replicated parameters after a `psum`.
+
+Supported layer families here: the flat-stream layers (RGCN, GGNN,
+GNN-FiLM, RGAT) — per-type weights stay replicated; per-edge work scales
+1/P; node-state memory scales 1/P, which is what lets a graph too big for
+one chip's HBM train at all.
+"""
+
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.graph import bucket_size
+from ..ops.edge_ops import (
+    aggregate_flat,
+    gather_flat_src,
+    segment_softmax_flat,
+)
+from ..runtime.optimizers import clip_grads_per_tensor
+
+
+class GPFlatEdges(NamedTuple):
+    """Per-device flat edge stream: receivers LOCAL [0, Nl], senders GLOBAL
+    type-offset indices into the all-gathered [L*N, D] table. Receiver-
+    sorted with a by-src permutation, as in ops.graph.FlatEdges."""
+
+    src_flat: jnp.ndarray  # [E_dev] int32: type * N_global + global_sender
+    receivers: jnp.ndarray  # [E_dev] int32 LOCAL, sorted; padding -> Nl
+    tgt_flat: jnp.ndarray  # [E_dev] int32: type * N_global + global_receiver
+    mask: jnp.ndarray  # [E_dev] float32
+    norm_scale: jnp.ndarray  # [E_dev] float32
+    perm_by_src: jnp.ndarray  # [E_dev] int32
+    perm_by_tgt: jnp.ndarray  # [E_dev] int32
+
+
+class GPShard(NamedTuple):
+    """One device's piece of the partitioned graph (leading axis = device
+    when stacked for shard_map)."""
+
+    node_features: jnp.ndarray  # [Nl, F]
+    node_mask: jnp.ndarray  # [Nl]
+    flat: GPFlatEdges
+
+
+def partition_graph(
+    node_features: np.ndarray,
+    adjacency_lists: List[np.ndarray],
+    num_devices: int,
+    typed_incoming_counts: np.ndarray = None,
+) -> Tuple[Any, int, int]:
+    """Host-side partitioner: contiguous node ranges, receiver-owned edges.
+
+    Returns (stacked GPShard pytree with leading device axis, n_local,
+    n_global). Per-device edge counts are padded to a common static size.
+    """
+    n = node_features.shape[0]
+    L = len(adjacency_lists)
+    n_local = bucket_size(-(-n // num_devices), min_size=8)
+    n_global = n_local * num_devices
+
+    small = 1e-7
+    if typed_incoming_counts is None:
+        typed_incoming_counts = np.zeros((L, n), dtype=np.float32)
+        for l, adj in enumerate(adjacency_lists):
+            if adj.shape[0]:
+                np.add.at(typed_incoming_counts[l], adj[:, 1], 1.0)
+
+    # Assign each edge to its receiver's device:
+    per_dev_edges: List[List[Tuple[int, np.ndarray]]] = [[] for _ in range(num_devices)]
+    for l, adj in enumerate(adjacency_lists):
+        if adj.shape[0] == 0:
+            continue
+        dev = adj[:, 1] // n_local
+        for p in range(num_devices):
+            sel = adj[dev == p]
+            if sel.shape[0]:
+                per_dev_edges[p].append((l, sel))
+
+    e_pad = bucket_size(
+        max(max((sum(a.shape[0] for _, a in d) for d in per_dev_edges), default=1), 1),
+        min_size=64,
+    )
+
+    feats, masks, flats = [], [], []
+    for p in range(num_devices):
+        lo = p * n_local
+        f = np.zeros((n_local, node_features.shape[1]), np.float32)
+        m = np.zeros((n_local,), np.float32)
+        hi = min(lo + n_local, n)
+        if hi > lo:
+            f[: hi - lo] = node_features[lo:hi]
+            m[: hi - lo] = 1.0
+
+        src = np.full((e_pad,), L * n_global, np.int32)
+        tgt = np.full((e_pad,), L * n_global, np.int32)
+        rcv = np.full((e_pad,), n_local, np.int32)
+        msk = np.zeros((e_pad,), np.float32)
+        nrm = np.zeros((e_pad,), np.float32)
+        off = 0
+        for l, adj in per_dev_edges[p]:
+            k = adj.shape[0]
+            src[off : off + k] = l * n_global + adj[:, 0]
+            tgt[off : off + k] = l * n_global + adj[:, 1]
+            rcv[off : off + k] = adj[:, 1] - lo
+            msk[off : off + k] = 1.0
+            nrm[off : off + k] = 1.0 / (
+                typed_incoming_counts[l][adj[:, 1]] + small
+            )
+            off += k
+        order = np.argsort(rcv, kind="stable")
+        src, tgt, rcv, msk, nrm = (
+            src[order], tgt[order], rcv[order], msk[order], nrm[order]
+        )
+        flats.append(GPFlatEdges(
+            src_flat=src,
+            receivers=rcv,
+            tgt_flat=tgt,
+            mask=msk,
+            norm_scale=nrm,
+            perm_by_src=np.argsort(src, kind="stable").astype(np.int32),
+            perm_by_tgt=np.argsort(tgt, kind="stable").astype(np.int32),
+        ))
+        feats.append(f)
+        masks.append(m)
+
+    shards = [
+        GPShard(node_features=feats[p], node_mask=masks[p], flat=flats[p])
+        for p in range(num_devices)
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shards)
+    return stacked, n_local, n_global
+
+
+def gp_rgcn_layer(
+    W, shard: GPShard, h_local, axis_name: str,
+    activation_fn, normalize: bool = True,
+):
+    """One RGCN layer over the partition: transform locally, all-gather the
+    typed transforms over ICI, gather + sorted-scatter locally.
+
+    h_local: [Nl, D]. W: [L, D, D]. Returns [Nl, D].
+    """
+    n_local = h_local.shape[0]
+    # Local typed transform [L, Nl, D] -> all-gather -> [L, N, D]:
+    t_local = jnp.einsum("nd,lde->lne", h_local, W,
+                         preferred_element_type=jnp.float32)
+    t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+    L, n_global, D = t_full.shape
+    table = t_full.reshape(L * n_global, D)
+
+    flat = shard.flat
+    msgs = gather_flat_src(table, flat)
+    if normalize:
+        msgs = msgs * shard.flat.norm_scale[:, None]
+    agg = aggregate_flat(msgs, flat, n_local, "sum")
+    return activation_fn(agg)
+
+
+def gp_film_layer(W, W_film, ln_params, shard: GPShard, h_local,
+                  axis_name: str, activation_fn):
+    """One GNN-FiLM layer over the partition (flagship model family)."""
+    from ..nn.normalization import layer_norm
+    from ..ops.edge_ops import gather_flat_tgt
+
+    n_local = h_local.shape[0]
+    d = h_local.shape[-1]
+    t_local = jnp.einsum("nd,lde->lne", h_local, W,
+                         preferred_element_type=jnp.float32)
+    film_local = jnp.einsum("nd,lde->lne", h_local, W_film,
+                            preferred_element_type=jnp.float32)
+    t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+    film_full = jax.lax.all_gather(film_local, axis_name, axis=1, tiled=True)
+    L, n_global, D = t_full.shape
+
+    flat = shard.flat
+    m = gather_flat_src(t_full.reshape(L * n_global, D), flat)
+    gb = gather_flat_tgt(film_full.reshape(L * n_global, 2 * d), flat)
+    gamma, beta = gb[:, :d], gb[:, d:]
+    msgs = activation_fn(gamma * m + beta)
+    agg = aggregate_flat(msgs, flat, n_local, "sum")
+    return layer_norm(ln_params, agg)
+
+
+def make_gp_forward(layer_name: str, num_layers: int, axis_name: str = "gp"):
+    """Build a sharded multi-layer propagation fn(params, shard, feats) ->
+    final local node representations, for use inside shard_map."""
+    import jax.nn as jnn
+
+    def forward(layer_params_list, shard: GPShard, h_local):
+        for lp in layer_params_list:
+            if layer_name == "rgcn":
+                h_local = gp_rgcn_layer(
+                    lp["W"], shard, h_local, axis_name, jnn.relu
+                )
+            elif layer_name == "gnn_film":
+                h_local = gp_film_layer(
+                    lp["W"], lp["W_film"], lp["ln"], shard, h_local,
+                    axis_name, jnn.relu,
+                )
+            else:
+                raise ValueError(
+                    "graph parallelism supports rgcn/gnn_film, got %s"
+                    % layer_name
+                )
+        return h_local
+
+    return forward
+
+
+def make_gp_train_step(
+    layer_name: str,
+    num_layers: int,
+    num_labels: int,
+    optimizer,
+    clip_norm: float,
+    mesh: Mesh,
+    axis_name: str = "gp",
+):
+    """Jitted graph-parallel train step for a node-level sigmoid-CE head
+    (PPI-style): node states and edges sharded over `axis_name`, params
+    replicated, gradient psum.
+
+    step(params, opt_state, stacked_shard, labels_sharded, lr) ->
+    (params, opt_state, loss)
+    """
+    forward = make_gp_forward(layer_name, num_layers, axis_name)
+
+    def per_device(params, opt_state, shard: GPShard, labels, lr):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        labels = labels[0]
+
+        def loss_fn(p):
+            h = jnp.dot(shard.node_features, p["proj"],
+                        preferred_element_type=jnp.float32)
+            h = forward(p["layers"], shard, h)
+            logits = jnp.dot(h, p["out"], preferred_element_type=jnp.float32)
+            per_elem = (jnp.maximum(logits, 0) - logits * labels
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            local = jnp.sum(per_elem * shard.node_mask[:, None])
+            total = jax.lax.psum(local, axis_name)
+            n = jax.lax.psum(jnp.sum(shard.node_mask), axis_name)
+            return total / jnp.maximum(n, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # loss_fn already psums -> grads are replicated-consistent; still
+        # pmean to wash out float non-determinism across devices:
+        grads = jax.lax.pmean(grads, axis_name)
+        grads = clip_grads_per_tensor(grads, clip_norm)
+        new_params, new_opt_state = optimizer.update(
+            grads, opt_state, params, lr
+        )
+        return new_params, new_opt_state, loss
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
