@@ -73,6 +73,12 @@ class FlatEdges(NamedTuple):
     norm_scale: jnp.ndarray  # [E_tot] float32
     perm_by_src: jnp.ndarray  # [E_tot] int32
     perm_by_tgt: jnp.ndarray  # [E_tot] int32
+    # Rank compression for the Pallas streaming segment-sum kernel
+    # (ops/pallas_segment.py): rcv_rank[e] = rank of receivers[e] among the
+    # distinct receivers of the stream (gap-free, nondecreasing; padded
+    # edges share the final dump rank). node_to_rank / node_has_incoming
+    # live on GraphBatch.
+    rcv_rank: jnp.ndarray  # [E_tot] int32
 
 
 class GraphBatch(NamedTuple):
@@ -88,6 +94,8 @@ class GraphBatch(NamedTuple):
     node_graph_ids: jnp.ndarray  # [N] int32 in [0, G]; padding -> G (dump)
     edges: Tuple[EdgeBlock, ...]  # L static-length tuple
     flat: FlatEdges  # all edges, globally receiver-sorted
+    node_to_rank: jnp.ndarray  # [N] int32: rank of node in flat stream
+    node_has_incoming: jnp.ndarray  # [N] float32: 1.0 if any real in-edge
     typed_incoming_counts: jnp.ndarray  # [L, N] float32 (c_{v,l})
     graph_mask: jnp.ndarray  # [G] float32; 1.0 = real graph
     num_graphs: jnp.ndarray  # [] int32, real graph count
@@ -209,15 +217,30 @@ def pad_graph_batch(
     src_flat = np.where(all_msk > 0, src_flat, L * n_pad).astype(np.int32)
     tgt_flat = (all_type * np.int32(n_pad) + np.minimum(all_rcv, n_pad - 1))
     tgt_flat = np.where(all_msk > 0, tgt_flat, L * n_pad).astype(np.int32)
+    # Rank compression (gap-free receiver ids for the Pallas kernel):
+    rcv_sorted = all_rcv[order]
+    is_new = np.empty(rcv_sorted.shape[0], dtype=bool)
+    if rcv_sorted.shape[0]:
+        is_new[0] = True
+        is_new[1:] = rcv_sorted[1:] != rcv_sorted[:-1]
+    rcv_rank = (np.cumsum(is_new) - 1).astype(np.int32)
+    node_to_rank = np.zeros((n_pad,), dtype=np.int32)
+    node_has_incoming = np.zeros((n_pad,), dtype=np.float32)
+    real = (rcv_sorted < n_pad) & is_new
+    node_to_rank[rcv_sorted[real]] = rcv_rank[real]
+    real_any = rcv_sorted < n_pad
+    node_has_incoming[np.unique(rcv_sorted[real_any])] = 1.0
+
     flat = FlatEdges(
         src_flat=src_flat[order],
         tgt_flat=tgt_flat[order],
-        receivers=all_rcv[order],
+        receivers=rcv_sorted,
         edge_type=all_type[order],
         mask=all_msk[order],
         norm_scale=all_norm[order],
         perm_by_src=np.argsort(src_flat[order], kind="stable").astype(np.int32),
         perm_by_tgt=np.argsort(tgt_flat[order], kind="stable").astype(np.int32),
+        rcv_rank=rcv_rank,
     )
 
     return GraphBatch(
@@ -226,6 +249,8 @@ def pad_graph_batch(
         node_graph_ids=gids,
         edges=tuple(edges),
         flat=flat,
+        node_to_rank=node_to_rank,
+        node_has_incoming=node_has_incoming,
         typed_incoming_counts=counts,
         graph_mask=graph_mask,
         num_graphs=np.int32(num_graphs),

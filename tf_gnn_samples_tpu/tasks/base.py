@@ -79,6 +79,10 @@ def compute_batch_spec(
     graph. This gives ONE compiled shape per fold while keeping padding
     waste bounded by observed densities.
     """
+    # Edge pads are multiples of the Pallas streaming segment-sum kernel's
+    # grid block (ops/pallas_segment.py BLOCK) so the whole flat stream is
+    # chunkable by it.
+    edge_min_bucket = max(min_bucket, 2048)
     max_density = np.zeros(num_edge_types)
     min_nodes = None
     max_graph_nodes = 0
@@ -96,7 +100,7 @@ def compute_batch_spec(
     e_pads = tuple(
         bucket_size(
             max(int(np.ceil(max_density[l] * n_pad)), int(max_graph_edges[l]), 1),
-            min_size=min_bucket,
+            min_size=edge_min_bucket,
         )
         for l in range(num_edge_types)
     )
