@@ -282,8 +282,36 @@ def test_dp_eval_metrics_sum(tiny):
 
     _, m0 = model._forward(model.model_params_tree, model._device_batch(b0), None)
     _, m1 = model._forward(model.model_params_tree, model._device_batch(b1), None)
+    # Per-device metrics (leading axis P) preserve per-batch semantics:
     np.testing.assert_allclose(
-        float(metrics["abs_err_task0"]),
-        float(m0["abs_err_task0"]) + float(m1["abs_err_task0"]),
-        rtol=1e-5,
+        float(metrics["abs_err_task0"][0]), float(m0["abs_err_task0"]), rtol=1e-5
     )
+    np.testing.assert_allclose(
+        float(metrics["abs_err_task0"][1]), float(m1["abs_err_task0"]), rtol=1e-5
+    )
+
+
+def test_dp_epoch_via_model(tiny):
+    """num_model_replicas > 1 drives whole epochs through the dp mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    import __graft_entry__ as ge
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=32, n_layers=2, seed=7
+    )
+    model.params["num_model_replicas"] = 4
+    model.params["max_nodes_in_batch"] = 40  # force many small batches
+    losses = []
+    for _ in range(4):
+        loss, metrics, n_graphs, *_ = model._run_epoch(
+            "dp", samples, DataFold.TRAIN, quiet=True
+        )
+        losses.append(loss)
+        assert n_graphs == len(samples)
+        # one metrics dict per REAL batch (padding replicas dropped):
+        n_batches = len(list(task.make_minibatch_iterator(
+            samples, DataFold.VALIDATION, 40
+        )))
+        assert len(metrics) == n_batches
+    assert losses[-1] < losses[0], losses

@@ -65,9 +65,11 @@ def make_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
 
     Returns step(params, opt_state, rng, stacked_batch) -> (params,
     opt_state, metrics) where stacked_batch leaves have a leading device
-    axis of size mesh.size. Metrics are summed across devices (they are
-    sums in the reference contract, e.g. abs_err / total_loss) except
-    'loss', which is the weighted per-graph mean.
+    axis of size mesh.size. Metrics come back PER DEVICE (leading axis P)
+    so the host can keep the reference's exact per-minibatch metric-list
+    semantics (e.g. PPI's per-batch micro-F1 average, ppi_task.py:263);
+    gradients are the graph-count-weighted psum, i.e. exactly the gradient
+    of the concatenated batch.
     """
     clip_norm = model.params["clamp_gradient_norm"]
 
@@ -89,41 +91,47 @@ def make_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
         )
         grads = clip_grads_per_tensor(grads, clip_norm)
 
-        metrics = {k: jax.lax.psum(v, axis_name) for k, v in metrics.items()}
-        metrics["loss"] = metrics["total_loss"] / total_graphs
-
         lr = model._effective_lr(total_graphs)
         new_params, new_opt_state = model._optimizer.update(
             grads, opt_state, params, lr
         )
+        # Per-device metrics, restacked on the device axis:
+        metrics = {k: v[None] for k, v in metrics.items()}
         return new_params, new_opt_state, metrics
 
     sharded = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis_name)),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(axis_name)),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_dp_eval_step(model, mesh: Mesh, axis_name: str = "dp"):
+def make_dp_eval_step(model, mesh: Mesh, axis_name: str = "dp",
+                      reduce_metrics: bool = False):
+    """Eval step over stacked batches. With reduce_metrics the metric sums
+    are psum'd to one dict; default returns per-device metrics (leading
+    axis P) to preserve per-minibatch metric semantics."""
+
     def per_device(params, batch: TaskBatch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         _, metrics = model._forward(params, batch, None)
-        metrics = {k: jax.lax.psum(v, axis_name) for k, v in metrics.items()}
-        total_graphs = jax.lax.psum(
-            batch.graph.num_graphs.astype(jnp.float32), axis_name
-        )
-        metrics["loss"] = metrics["total_loss"] / total_graphs
-        return metrics
+        if reduce_metrics:
+            metrics = {k: jax.lax.psum(v, axis_name) for k, v in metrics.items()}
+            total_graphs = jax.lax.psum(
+                batch.graph.num_graphs.astype(jnp.float32), axis_name
+            )
+            metrics["loss"] = metrics["total_loss"] / total_graphs
+            return metrics
+        return {k: v[None] for k, v in metrics.items()}
 
     sharded = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(axis_name)),
-        out_specs=P(),
+        out_specs=P() if reduce_metrics else P(axis_name),
         check_vma=False,
     )
     return jax.jit(sharded)

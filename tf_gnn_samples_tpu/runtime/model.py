@@ -109,6 +109,13 @@ class SparseGraphModel(ABC):
             # frozen after the first epoch (the reference re-packs after a
             # full data shuffle each epoch, ppi_task.py:204).
             "cache_batches_on_device": False,
+            # TPU-native extension: data-parallel training over the first
+            # `num_model_replicas` devices of this process (reference is
+            # single-device, SURVEY.md §2.3). Each replica consumes one
+            # packed mega-graph per step; gradients are graph-count-
+            # weighted psums, exactly the single-device gradient of the
+            # concatenated batch.
+            "num_model_replicas": 1,
         }
 
     @staticmethod
@@ -144,6 +151,7 @@ class SparseGraphModel(ABC):
         self._jitted_train_step = None
         self._jitted_eval_step = None
         self._jitted_epoch_fns = None
+        self._dp_steps = None
         self._batch_cache: Dict[Any, List[TaskBatch]] = {}
         self._stacked_cache: Dict[Any, TaskBatch] = {}
 
@@ -324,6 +332,15 @@ class SparseGraphModel(ABC):
         data_fold: DataFold,
         quiet: bool = False,
     ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        replicas = int(self.params.get("num_model_replicas", 1) or 1)
+        if replicas > 1:
+            if len(jax.devices()) < replicas:
+                raise ValueError(
+                    "num_model_replicas=%d but only %d devices visible"
+                    % (replicas, len(jax.devices()))
+                )
+            return self._run_epoch_dp(epoch_name, data, data_fold, replicas)
+
         cache_on_device = self.params.get("cache_batches_on_device", False)
         cached = self._batch_cache.get(data_fold) if cache_on_device else None
         if cached is not None:
@@ -409,6 +426,104 @@ class SparseGraphModel(ABC):
             graphs_per_sec,
             nodes_per_sec,
             edges_per_sec,
+        )
+
+    def _empty_like_batch(self, batch: TaskBatch) -> TaskBatch:
+        """A zero-weight clone used to pad the last data-parallel group:
+        num_graphs 0 and all masks zeroed, so it contributes nothing to
+        gradients (weight 0 in the psum); its metrics are dropped on host."""
+        g = batch.graph
+        zero_graph = g._replace(
+            node_mask=jnp.zeros_like(g.node_mask),
+            graph_mask=jnp.zeros_like(g.graph_mask),
+            num_graphs=jnp.zeros_like(jnp.asarray(g.num_graphs)),
+            num_nodes=jnp.zeros_like(jnp.asarray(g.num_nodes)),
+        )
+        return TaskBatch(graph=zero_graph, aux=batch.aux,
+                         num_graphs=0, num_nodes=0, num_edges=0)
+
+    def _run_epoch_dp(
+        self, epoch_name: str, data, data_fold: DataFold, replicas: int
+    ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        """Data-parallel epoch: groups of `replicas` same-shape batches run
+        as one shard_map step over the 'dp' mesh; a short final group is
+        padded with zero-weight batches."""
+        from ..parallel.data_parallel import (
+            make_dp_eval_step,
+            make_dp_train_step,
+            make_mesh,
+        )
+
+        if self._dp_steps is None:
+            mesh = make_mesh(replicas)
+            self._dp_steps = (
+                make_dp_train_step(self, mesh),
+                make_dp_eval_step(self, mesh),
+            )
+        dp_train, dp_eval = self._dp_steps
+
+        start_time = time.time()
+        processed_graphs = processed_nodes = processed_edges = 0
+        device_metric_groups: List[Tuple[Dict[str, Any], int]] = []
+
+        batch_iterator = ThreadedIterator(
+            self.task.make_minibatch_iterator(
+                data, data_fold, self.params["max_nodes_in_batch"]
+            ),
+            max_queue_size=5,
+        )
+
+        def run_group(group: List[TaskBatch]):
+            real = len(group)
+            while len(group) < replicas:
+                group.append(self._empty_like_batch(group[-1]))
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0),
+                *group,
+            )
+            if data_fold == DataFold.TRAIN:
+                rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
+                self.model_params_tree, self.opt_state, metrics = dp_train(
+                    self.model_params_tree, self.opt_state, rng, stacked
+                )
+            else:
+                metrics = dp_eval(self.model_params_tree, stacked)
+            device_metric_groups.append((metrics, real))
+
+        group: List[TaskBatch] = []
+        for batch in batch_iterator:
+            processed_graphs += int(batch.num_graphs)
+            processed_nodes += int(batch.num_nodes)
+            processed_edges += int(batch.num_edges)
+            group.append(self._device_batch(batch))
+            if len(group) == replicas:
+                run_group(group)
+                group = []
+        if group:
+            run_group(group)
+
+        assert processed_graphs > 0, "Can't run epoch over empty dataset."
+        task_metric_results: List[Dict[str, Any]] = []
+        host_groups = jax.device_get([m for m, _ in device_metric_groups])
+        for (metrics, real), host_m in zip(device_metric_groups, host_groups):
+            for i in range(real):  # drop zero-weight padding replicas
+                task_metric_results.append(
+                    {k: np.asarray(v[i]) for k, v in host_m.items()}
+                )
+        # All tasks define total_loss = loss * num_graphs per batch, so the
+        # per-graph epoch loss is the direct sum:
+        epoch_loss = float(sum(
+            float(m["total_loss"]) for m in task_metric_results
+        ))
+
+        epoch_time = time.time() - start_time
+        return (
+            epoch_loss / processed_graphs,
+            task_metric_results,
+            processed_graphs,
+            processed_graphs / epoch_time,
+            processed_nodes / epoch_time,
+            processed_edges / epoch_time,
         )
 
     def _run_epoch_scanned(

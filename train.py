@@ -38,6 +38,8 @@ def get_train_args(argv=None):
     parser.add_argument("--task-param-overrides", default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--tensorboard", default=None, help="Dump metric JSONL files to DIR.")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a jax.profiler trace of training to DIR.")
     parser.add_argument("--azure-info", default="azure_auth.json",
                         help="Accepted for CLI parity; Azure paths are not supported.")
     parser.add_argument("--debug", action="store_true")
@@ -92,7 +94,10 @@ def run(args):
         model.log_line(" Using the following model params: %s" % json.dumps(model_params))
 
         model.initialize_model()
-        model.train(quiet=args.quiet, tf_summary_path=args.tensorboard)
+        from tf_gnn_samples_tpu.utils.profiling import trace_if
+
+        with trace_if(args.profile_dir):
+            model.train(quiet=args.quiet, tf_summary_path=args.tensorboard)
 
         if args.run_test:
             test(model.best_model_file, data_path, result_dir,
