@@ -243,8 +243,13 @@ def dense_aggregate_linear(transformed, graph, normalize: bool,
     message along a type-l edge u->v is transformed[l, u]).
     Returns [N, D], numerically the sum-aggregation of gathered messages
     (modulo float reassociation in the matmul reduction).
+
+    Uses graph.dense_adj when the runtime pre-built it (hoisted out of the
+    layer loop, runtime/model.py); otherwise builds per call.
     """
-    mats = dense_adjacency(graph, normalize, dtype=matmul_dtype)
+    mats = graph.dense_adj
+    if mats is None:
+        mats = dense_adjacency(graph, normalize, dtype=matmul_dtype)
     out = None
     for l, A in enumerate(mats):
         t = transformed[l].astype(matmul_dtype)

@@ -22,7 +22,7 @@ Shape legend: N = n_pad (padded node count), E_l = padded edge count of
 type l, L = number of edge types, G = g_pad (padded graph count).
 """
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -100,6 +100,11 @@ class GraphBatch(NamedTuple):
     graph_mask: jnp.ndarray  # [G] float32; 1.0 = real graph
     num_graphs: jnp.ndarray  # [] int32, real graph count
     num_nodes: jnp.ndarray  # [] int32, real node count
+    # Optional per-type dense adjacency matrices [L x [N, N]], populated
+    # (on device, inside jit) once per forward pass by the model runtime
+    # when the dense-MXU aggregation strategy applies — hoists the
+    # scatter-build out of the per-layer loop. None on host-built batches.
+    dense_adj: Any = None
 
     @property
     def n_pad(self) -> int:

@@ -199,6 +199,28 @@ class SparseGraphModel(ABC):
             rng_in, rng_prop, rng_out = jax.random.split(rng, 3)
         else:
             rng_in = rng_prop = rng_out = None
+
+        # Hoist the dense-adjacency build out of the layer loop: built once
+        # per step, shared by every layer (and reused by the backward pass).
+        if self.layer_name in ("rgcn", "ggnn"):
+            from ..nn.layers import use_dense_strategy
+            from ..ops.edge_ops import dense_adjacency
+
+            kw = self.layer_kwargs()
+            if use_dense_strategy(
+                batch.graph,
+                kw.get("message_aggregation_function", "sum"),
+                self.params.get("aggregation_strategy", "auto"),
+            ):
+                # RGCN normalizes by incoming counts (layer default, not
+                # exposed as a model param — gnns/rgcn.py:100-104); GGNN
+                # does not. Must match the layer's flag exactly since the
+                # prebuilt adjacency bakes the normalization in.
+                normalize = self.layer_name == "rgcn"
+                batch = batch._replace(graph=batch.graph._replace(
+                    dense_adj=tuple(dense_adjacency(batch.graph, normalize))
+                ))
+
         feats = self.task.input_apply(params["input"], batch, rng_in)
         final_h = propagation_apply(
             params["prop"],
