@@ -1,0 +1,82 @@
+"""End-to-end CLI smoke tests (subprocess, CPU): train.py -> checkpoint ->
+test.py across tasks, exercising the full user surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from fixtures import make_ppi_dir, make_varmisuse_dir
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=REPO, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # The env var alone is overridden by the axon plugin; force via a
+    # sitecustomize-style preamble:
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import runpy, sys; sys.argv = %r; runpy.run_path(%r, run_name='__main__')"
+        % (args, os.path.join(REPO, args[0]))
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_train_and_test_cli_qm9(tmp_path):
+    result_dir = str(tmp_path / "runs")
+    r = _run([
+        "train.py", "RGCN", "QM9", "--quiet", "--result-dir", result_dir,
+        "--model-param-overrides",
+        '{"max_epochs": 1, "graph_num_layers": 2, "max_nodes_in_batch": 4000, "hidden_size": 32}',
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert " Train: loss:" in r.stdout
+    ckpts = [f for f in os.listdir(result_dir) if f.endswith("_best_model.pickle")]
+    assert len(ckpts) == 1
+
+    r2 = _run([
+        "test.py", os.path.join(result_dir, ckpts[0]), "--quiet",
+        "--result-dir", result_dir,
+    ])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Metrics: MAEs:" in r2.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_ppi_with_replicas(tmp_path):
+    data_dir = make_ppi_dir(str(tmp_path / "ppi"),
+                            graphs_per_fold={"train": 4, "valid": 2, "test": 2},
+                            nodes_per_graph=120, fwd_edges_per_node=4)
+    result_dir = str(tmp_path / "runs")
+    r = _run([
+        "train.py", "GNN-FiLM", "PPI", "--quiet",
+        "--data-path", data_dir, "--result-dir", result_dir,
+        "--model-param-overrides",
+        '{"max_epochs": 2, "graph_num_layers": 2, "max_nodes_in_batch": 150, '
+        '"hidden_size": 32, "num_model_replicas": 4}',
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Avg MicroF1" in r.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_varmisuse(tmp_path):
+    data_dir = make_varmisuse_dir(str(tmp_path / "vm"), num_shards=2,
+                                  samples_per_shard=4)
+    result_dir = str(tmp_path / "runs")
+    r = _run([
+        "train.py", "GGNN", "VarMisuse", "--quiet",
+        "--data-path", data_dir, "--result-dir", result_dir,
+        "--model-param-overrides",
+        '{"max_epochs": 1, "graph_num_layers": 1, "max_nodes_in_batch": 300, "hidden_size": 64}',
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Accuracy:" in r.stdout
