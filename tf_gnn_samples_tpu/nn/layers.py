@@ -30,7 +30,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from .. import SMALL_NUMBER
+
 from ..ops.edge_ops import (
     aggregate_blocks,
     aggregate_flat,

@@ -7,7 +7,7 @@
 * dropout is applied to the input of each layer except the output layer.
 """
 
-from typing import List, Optional, Union
+from typing import List, Union
 
 import jax
 import jax.numpy as jnp

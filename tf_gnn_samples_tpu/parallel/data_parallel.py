@@ -15,7 +15,7 @@ Parameters and optimizer state are replicated; updates are computed
 identically on every device after the psum (no divergence).
 """
 
-from functools import partial
+
 from typing import List, Sequence
 
 import numpy as np

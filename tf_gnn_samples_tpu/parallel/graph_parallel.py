@@ -22,7 +22,7 @@ GNN-FiLM, RGAT) — per-type weights stay replicated; per-edge work scales
 one chip's HBM train at all.
 """
 
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, List, NamedTuple, Tuple
 
 import numpy as np
 
@@ -35,7 +35,6 @@ from ..ops.graph import bucket_size
 from ..ops.edge_ops import (
     aggregate_flat,
     gather_flat_src,
-    segment_softmax_flat,
 )
 from ..runtime.optimizers import clip_grads_per_tensor
 

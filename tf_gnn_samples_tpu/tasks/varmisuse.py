@@ -53,7 +53,6 @@ from .. import BIG_NUMBER
 from ..nn.initializers import glorot_uniform, zeros
 from ..ops.graph import bucket_size
 from .base import (
-    BatchSpec,
     DataFold,
     SparseGraphTask,
     TaskBatch,

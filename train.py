@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import pdb
-import sys
 import time
 import traceback
 
