@@ -101,14 +101,18 @@ def ggnn_gru(params, h, adj_lists, activation="tanh", aggregation="sum", timeste
     K = np.asarray(params["cell"]["kernel"], np.float64)
     U = np.asarray(params["cell"]["recurrent_kernel"], np.float64)
     b = np.asarray(params["cell"]["bias"], np.float64)
+    def hard_sigmoid(x):
+        # TF 1.13 keras recurrent_activation default.
+        return np.clip(0.2 * x + 0.5, 0.0, 1.0)
+
     for _ in range(timesteps):
         msgs, tgts = _typed_messages_linear(h, W, adj_lists)
         agg = _aggregate(msgs, tgts, n, aggregation)
         xw = agg @ K + b
-        hw = h @ U
-        z = _sigmoid(xw[:, :d] + hw[:, :d])
-        r = _sigmoid(xw[:, d : 2 * d] + hw[:, d : 2 * d])
-        hh = act(xw[:, 2 * d :] + r * hw[:, 2 * d :])
+        z = hard_sigmoid(xw[:, :d] + h @ U[:, :d])
+        r = hard_sigmoid(xw[:, d : 2 * d] + h @ U[:, d : 2 * d])
+        # reset_after=False: reset gate on the state BEFORE the matmul.
+        hh = act(xw[:, 2 * d :] + (r * h) @ U[:, 2 * d :])
         h = z * h + (1 - z) * hh
     return h
 

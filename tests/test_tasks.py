@@ -249,3 +249,24 @@ def test_varmisuse_checkpoint_roundtrip(vm_task, tmp_path):
     l1, _ = model._forward(model.model_params_tree, model._device_batch(b), None)
     l2, _ = model2._forward(model2.model_params_tree, model2._device_batch(b), None)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_varmisuse_self_loops_with_parallel_loader(tmp_path):
+    """Regression: add_self_loop_edges=True must survive the spawn-pool
+    loader (workers re-import the module; no global vocab mutation)."""
+    from tf_gnn_samples_tpu.tasks.varmisuse import VarMisuse_Task
+
+    root = make_varmisuse_dir(str(tmp_path / "vm_sl"), num_shards=2,
+                              samples_per_shard=3)
+    params = VarMisuse_Task.default_params()
+    params["add_self_loop_edges"] = True
+    task = VarMisuse_Task(params)
+    assert task.num_edge_types == 23
+    task.load_data(str(tmp_path / "vm_sl"))
+    s = task._loaded_data[DataFold.TRAIN][0]
+    assert len(s.adjacency_lists) == 23
+    sl = s.adjacency_lists[22]
+    np.testing.assert_array_equal(sl[:, 0], sl[:, 1])  # self loops
+    # A plain instance constructed afterwards is unaffected:
+    task2 = VarMisuse_Task(VarMisuse_Task.default_params())
+    assert task2.num_edge_types == 22

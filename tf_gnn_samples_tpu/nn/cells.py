@@ -6,8 +6,12 @@ The reference uses tf.keras.layers.{SimpleRNN,GRU,LSTM}Cell
 input* and the *previous node state as the hidden state*
 (gnns/ggnn.py:92) — that argument order is preserved here.
 
-Gate maths follow keras conventions: GRU gate order (z, r, h), LSTM gate
-order (i, f, c, o) with unit_forget_bias, recurrent activation sigmoid.
+Gate maths follow the TF 1.13 keras defaults exactly: GRU gate order
+(z, r, h) with reset_after=False (the reset gate multiplies the hidden
+state BEFORE the recurrent matmul), LSTM gate order (i, f, c, o) with
+unit_forget_bias, and recurrent_activation = hard_sigmoid
+(clip(0.2 x + 0.5, 0, 1)) — TF2 changed this default to sigmoid, but the
+reference pins TF 1.13 (requirements.txt).
 """
 
 import jax
@@ -40,6 +44,11 @@ def cell_init(key, cell_type: str, dim: int):
     return params
 
 
+def _hard_sigmoid(x):
+    """TF1-keras recurrent_activation default: clip(0.2 x + 0.5, 0, 1)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
 def cell_apply(params, cell_type: str, x, h, activation: str = "tanh", c=None):
     """One cell step. Returns (new_h, new_c) — new_c is None except for LSTM.
 
@@ -56,12 +65,16 @@ def cell_apply(params, cell_type: str, x, h, activation: str = "tanh", c=None):
         out = act(xw + jnp.dot(h, params["recurrent_kernel"]) + params["bias"])
         return out, None
     if cell_type == "gru":
-        hw = jnp.dot(h, params["recurrent_kernel"], preferred_element_type=jnp.float32)
+        dim3 = params["recurrent_kernel"].shape[-1]
+        U_z = params["recurrent_kernel"][:, : dim3 // 3]
+        U_r = params["recurrent_kernel"][:, dim3 // 3 : 2 * dim3 // 3]
+        U_h = params["recurrent_kernel"][:, 2 * dim3 // 3 :]
         xz, xr, xh = jnp.split(xw + params["bias"], 3, axis=-1)
-        hz, hr, hh = jnp.split(hw, 3, axis=-1)
-        z = jax.nn.sigmoid(xz + hz)
-        r = jax.nn.sigmoid(xr + hr)
-        hh_tilde = act(xh + r * hh)
+        z = _hard_sigmoid(xz + jnp.dot(h, U_z, preferred_element_type=jnp.float32))
+        r = _hard_sigmoid(xr + jnp.dot(h, U_r, preferred_element_type=jnp.float32))
+        # reset_after=False (TF1 default): reset gate applies to the hidden
+        # state BEFORE the recurrent matmul.
+        hh_tilde = act(xh + jnp.dot(r * h, U_h, preferred_element_type=jnp.float32))
         return z * h + (1.0 - z) * hh_tilde, None
     if cell_type == "lstm":
         if c is None:
@@ -69,7 +82,7 @@ def cell_apply(params, cell_type: str, x, h, activation: str = "tanh", c=None):
         hw = jnp.dot(h, params["recurrent_kernel"], preferred_element_type=jnp.float32)
         gates = xw + hw + params["bias"]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * act(g)
-        new_h = jax.nn.sigmoid(o) * act(new_c)
+        new_c = _hard_sigmoid(f) * c + _hard_sigmoid(i) * act(g)
+        new_h = _hard_sigmoid(o) * act(new_c)
         return new_h, new_c
     raise ValueError("Unknown RNN cell type '%s'." % cell_type)

@@ -84,7 +84,7 @@ def aggregate(messages: List[jnp.ndarray], graph: GraphBatch, aggregation: str):
     return aggregate_blocks(messages, graph, aggregation)
 
 
-def normalize_by_incoming(messages, edge_block, counts_l=None):
+def normalize_by_incoming(messages, edge_block):
     """1/c_{v,l} message scaling (reference: gnns/rgcn.py:100-104).
     The factor mask/(c + SMALL_NUMBER) is precomputed per edge on the host
     (EdgeBlock.norm_scale)."""
@@ -457,8 +457,8 @@ def gnn_edge_mlp_apply(
         )
         if normalize_by_num_incoming:
             msgs = [
-                normalize_by_incoming(m, e, graph.typed_incoming_counts[l])
-                for l, (m, e) in enumerate(zip(msgs, graph.edges))
+                normalize_by_incoming(m, e)
+                for m, e in zip(msgs, graph.edges)
             ]
         msgs = [act(m) for m in msgs]  # activation on messages (·:112)
         agg = aggregate(msgs, graph, message_aggregation_function)

@@ -486,7 +486,7 @@ class SparseGraphModel(ABC):
 
         start_time = time.time()
         processed_graphs = processed_nodes = processed_edges = 0
-        device_metric_groups: List[Tuple[Dict[str, Any], int]] = []
+        device_metric_groups: List[Tuple[Dict[str, Any], List[int]]] = []
 
         batch_iterator = ThreadedIterator(
             self.task.make_minibatch_iterator(
@@ -496,7 +496,7 @@ class SparseGraphModel(ABC):
         )
 
         def run_group(group: List[TaskBatch]):
-            real = len(group)
+            counts = [int(b.num_graphs) for b in group]
             while len(group) < replicas:
                 group.append(self._empty_like_batch(group[-1]))
             stacked = jax.tree_util.tree_map(
@@ -510,7 +510,7 @@ class SparseGraphModel(ABC):
                 )
             else:
                 metrics = dp_eval(self.model_params_tree, stacked)
-            device_metric_groups.append((metrics, real))
+            device_metric_groups.append((metrics, counts))
 
         group: List[TaskBatch] = []
         for batch in batch_iterator:
@@ -526,16 +526,19 @@ class SparseGraphModel(ABC):
 
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
         task_metric_results: List[Dict[str, Any]] = []
+        batch_graph_counts: List[int] = []
         host_groups = jax.device_get([m for m, _ in device_metric_groups])
-        for (metrics, real), host_m in zip(device_metric_groups, host_groups):
-            for i in range(real):  # drop zero-weight padding replicas
+        for (metrics, counts), host_m in zip(device_metric_groups, host_groups):
+            for i in range(len(counts)):  # drop zero-weight padding replicas
                 task_metric_results.append(
                     {k: np.asarray(v[i]) for k, v in host_m.items()}
                 )
-        # All tasks define total_loss = loss * num_graphs per batch, so the
-        # per-graph epoch loss is the direct sum:
+                batch_graph_counts.append(counts[i])
+        # Same weighting as the single-device epoch driver (and the
+        # reference, sparse_graph_model.py:294): sum(loss_b * num_graphs_b).
         epoch_loss = float(sum(
-            float(m["total_loss"]) for m in task_metric_results
+            float(m["loss"]) * c
+            for m, c in zip(task_metric_results, batch_graph_counts)
         ))
 
         epoch_time = time.time() - start_time
@@ -568,6 +571,15 @@ class SparseGraphModel(ABC):
                 *cached,
             )
             self._stacked_cache[data_fold] = stacked
+            # Keep only host-side stats; drop the per-batch device arrays
+            # (otherwise two full device-resident copies of the fold stay
+            # alive for the rest of training).
+            cached = [
+                TaskBatch(graph=None, aux=None, num_graphs=int(b.num_graphs),
+                          num_nodes=int(b.num_nodes), num_edges=int(b.num_edges))
+                for b in cached
+            ]
+            self._batch_cache[data_fold] = cached
 
         if data_fold == DataFold.TRAIN:
             order = np.arange(len(cached))
@@ -748,6 +760,7 @@ class GGNN_Model(SparseGraphModel):
             "gated_unit_type": self.params["graph_rnn_cell"].lower(),
             "activation_function": self.params["graph_activation_function"],
             "message_aggregation_function": self.params["message_aggregation_function"],
+            "aggregation_strategy": self.params.get("aggregation_strategy", "auto"),
         }
 
 
@@ -775,6 +788,7 @@ class RGCN_Model(SparseGraphModel):
         return {
             "activation_function": self.params["graph_activation_function"],
             "message_aggregation_function": self.params["message_aggregation_function"],
+            "aggregation_strategy": self.params.get("aggregation_strategy", "auto"),
         }
 
 

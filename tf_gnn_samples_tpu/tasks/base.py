@@ -165,6 +165,17 @@ class SparseGraphTask(ABC):
     def __init__(self, params: Dict[str, Any]):
         self.params = params
         self._loaded_data: Dict[DataFold, Any] = {}
+        self._spec_cache: Dict[Any, Any] = {}
+
+    def cached_spec(self, data, max_nodes: int, compute):
+        """Memoize the fold-constant batch spec: dataset statistics do not
+        change across epochs, so scanning the whole dataset to rebuild an
+        identical BatchSpec every epoch is wasted host time on the
+        critical path. Keyed by the data list's identity + budget."""
+        key = (id(data), max_nodes)
+        if key not in self._spec_cache:
+            self._spec_cache[key] = compute()
+        return self._spec_cache[key]
 
     # ---- metadata travels with the checkpoint (sparse_graph_task.py:46-59)
     def get_metadata(self) -> Dict[str, Any]:

@@ -214,11 +214,14 @@ class PPI_Task(SparseGraphTask):
     def make_minibatch_iterator(
         self, data, data_fold: DataFold, max_nodes_per_batch: int
     ) -> Iterator[TaskBatch]:
-        sizes = [
-            (len(s.node_features), [a.shape[0] for a in s.adjacency_lists])
-            for s in data
-        ]
-        spec = compute_batch_spec(sizes, max_nodes_per_batch, self.num_edge_types)
+        def _compute():
+            sz = [
+                (len(s.node_features), [a.shape[0] for a in s.adjacency_lists])
+                for s in data
+            ]
+            return sz, compute_batch_spec(sz, max_nodes_per_batch, self.num_edge_types)
+
+        sizes, spec = self.cached_spec(data, max_nodes_per_batch, _compute)
         order = np.arange(len(data))
         if data_fold == DataFold.TRAIN:
             np.random.shuffle(order)

@@ -146,7 +146,8 @@ class QM9_Task(SparseGraphTask):
         return out
 
     def __graph_to_adjacency_lists(self, graph, num_nodes: int):
-        """Edge typing exactly as the reference (qm9_task.py:113-147):
+        """Edge typing as the reference (qm9_task.py:113-147) except one
+        documented fix in the untied-backward counts (see below):
         self-loops as type 0 shifting bond types to 1..K, tied backward
         edges duplicated in-type, or distinct backward types appended."""
         tie = self.params["tie_fwd_bkwd_edges"]
@@ -176,6 +177,10 @@ class QM9_Task(SparseGraphTask):
                     sorted((int(y), int(x)) for x, y in adj[l]), dtype=np.int32
                 ).reshape(-1, 2)
                 adj.append(bwd)
+                # DELIBERATE FIX of a reference bug: a backward edge y->x is
+                # incoming at x, but qm9_task.py:145 counts it at y. We
+                # count at the true receiver x (only reachable with
+                # tie_fwd_bkwd_edges=False, off by default).
                 for x, y in adj[l]:
                     counts[num_fwd + l, x] += 1
         return adj, counts
@@ -241,8 +246,12 @@ class QM9_Task(SparseGraphTask):
     def make_minibatch_iterator(
         self, data, data_fold: DataFold, max_nodes_per_batch: int
     ) -> Iterator[TaskBatch]:
-        sizes = self._graph_sizes(data)
-        spec = compute_batch_spec(sizes, max_nodes_per_batch, self.num_edge_types)
+        sizes, spec = self.cached_spec(
+            data, max_nodes_per_batch,
+            lambda: (lambda sz: (sz, compute_batch_spec(
+                sz, max_nodes_per_batch, self.num_edge_types
+            )))(self._graph_sizes(data)),
+        )
         order = np.arange(len(data))
         if data_fold == DataFold.TRAIN:
             np.random.shuffle(order)

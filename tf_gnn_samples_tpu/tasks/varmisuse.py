@@ -139,7 +139,12 @@ def _load_single_sample(raw_sample, unsplittable_node_names,
                         graph_node_label_max_num_chars,
                         max_variable_candidates=5,
                         add_self_loop_edges=False) -> GraphSample:
-    """Parse one raw JSON sample (varmisuse_task.py:69-136)."""
+    """Parse one raw JSON sample (varmisuse_task.py:69-136).
+
+    The self-loop type, when enabled, is always index
+    len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB) — computed locally so that spawn
+    workers (which re-import this module) agree with the parent process
+    without any global-vocab mutation."""
     _add_per_subtoken_nodes(unsplittable_node_names, raw_sample["ContextGraph"])
     num_nodes = len(raw_sample["ContextGraph"]["NodeLabels"])
 
@@ -151,7 +156,9 @@ def _load_single_sample(raw_sample, unsplittable_node_names,
             node_label_chars[int(node), char_idx] = ALPHABET_DICT.get(ch, 1)
     uniq_chars, uniq_indices = np.unique(node_label_chars, axis=0, return_inverse=True)
 
-    num_edge_types = len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB)
+    num_edge_types = len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB) + (
+        1 if add_self_loop_edges else 0
+    )
     adjacency_lists = [np.zeros((0, 2), dtype=np.int32) for _ in range(num_edge_types)]
     num_incoming = np.zeros((num_edge_types, num_nodes), dtype=np.uint16)
     for e_type, e_type_edges in raw_sample["ContextGraph"]["Edges"].items():
@@ -167,7 +174,7 @@ def _load_single_sample(raw_sample, unsplittable_node_names,
             num_incoming[bkwd_idx, :] = np.bincount(fwd[:, 0], minlength=num_nodes)
 
     if add_self_loop_edges:
-        sl_idx = PROGRAM_GRAPH_EDGES_TYPES_VOCAB[SELF_LOOP_EDGE_NAME]
+        sl_idx = len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB)
         rng_nodes = np.arange(num_nodes, dtype=np.int32)
         adjacency_lists[sl_idx] = np.stack([rng_nodes, rng_nodes], axis=1)
         num_incoming[sl_idx, :] = 1
@@ -260,17 +267,14 @@ class VarMisuse_Task(SparseGraphTask):
     def default_data_path() -> str:
         return "data/varmisuse"
 
-    def __init__(self, params: Dict[str, Any]):
-        super().__init__(params)
-        if params.get("add_self_loop_edges"):
-            if SELF_LOOP_EDGE_NAME not in PROGRAM_GRAPH_EDGES_TYPES_VOCAB:
-                PROGRAM_GRAPH_EDGES_TYPES_VOCAB[SELF_LOOP_EDGE_NAME] = len(
-                    PROGRAM_GRAPH_EDGES_TYPES_VOCAB
-                )
-
     @property
     def num_edge_types(self) -> int:
-        return len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB)
+        # 22 named fwd/bkwd types (+ SelfLoop as the final index when
+        # enabled; varmisuse_task.py:244-247). No global-vocab mutation:
+        # it would desync spawn loader workers and leak across instances.
+        return len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB) + (
+            1 if self.params.get("add_self_loop_edges") else 0
+        )
 
     @property
     def initial_node_feature_size(self) -> int:
@@ -456,20 +460,27 @@ class VarMisuse_Task(SparseGraphTask):
         n_cands = self.params["max_variable_candidates"]
         C = self.params["graph_node_label_max_num_chars"]
 
-        # Static spec from dataset stats (nodes, per-type edges, uniques):
-        sizes = []
-        uniq_density = 0.0
-        max_uniq = 1
-        for s in data:
-            n = max(len(s.node_labels_to_unique_labels), 1)
-            sizes.append((n, [a.shape[0] for a in s.adjacency_lists]))
-            u = s.unique_labels_as_characters.shape[0]
-            uniq_density = max(uniq_density, u / n)
-            max_uniq = max(max_uniq, u)
-        from .base import compute_batch_spec
+        # Static spec from dataset stats (nodes, per-type edges, uniques);
+        # fold-constant, so memoized across epochs:
+        def _compute():
+            sizes = []
+            uniq_density = 0.0
+            max_uniq = 1
+            for s in data:
+                n = max(len(s.node_labels_to_unique_labels), 1)
+                sizes.append((n, [a.shape[0] for a in s.adjacency_lists]))
+                u = s.unique_labels_as_characters.shape[0]
+                uniq_density = max(uniq_density, u / n)
+                max_uniq = max(max_uniq, u)
+            from .base import compute_batch_spec
 
-        spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
-        u_pad = bucket_size(max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq))
+            spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
+            u_pad = bucket_size(
+                max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq)
+            )
+            return sizes, spec, u_pad
+
+        sizes, spec, u_pad = self.cached_spec(data, max_nodes_per_batch, _compute)
 
         # Pack under node + unique-label + edge + graph-count budgets:
         def batches():
