@@ -109,3 +109,80 @@ def test_gp_train_step_decreases_loss():
         p, o, loss = step(p, o, dev_shards, jnp.asarray(labels), 0.01)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_halo_rgcn_matches_single_device():
+    """The halo-exchange layer must also reproduce the single-device layer
+    exactly — while exchanging only boundary rows."""
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        gp_halo_rgcn_layer,
+        partition_graph_halo,
+    )
+
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=96, seed=3)
+    n, d = feats.shape
+    L = len(adj)
+    params = rgcn_init(jax.random.PRNGKey(5), L, d)
+
+    batch = pad_graph_batch(feats, adj, np.zeros(n, np.int32), 1, n_pad=128)
+    ref = rgcn_apply(
+        params, jax.tree_util.tree_map(jnp.asarray, batch),
+        jnp.asarray(batch.node_features),
+        activation_function="relu", aggregation_strategy="segment",
+    )[:n]
+
+    shards, n_local, n_global, halo_pad = partition_graph_halo(feats, adj, P_DEV)
+    assert halo_pad < n_local * (P_DEV - 1) + n_local  # actually exchanged less than everything
+    mesh = make_mesh(P_DEV, axis_name="gp")
+
+    def fwd(shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        out = gp_halo_rgcn_layer(
+            params["W"], shard, shard.node_features, "gp", jax.nn.relu
+        )
+        return out[None]
+
+    sharded = shard_map(
+        fwd, mesh=mesh, in_specs=(P("gp"),), out_specs=P("gp"),
+        check_vma=False,
+    )
+    out = jax.jit(sharded)(jax.tree_util.tree_map(jnp.asarray, shards))
+    out = out.reshape(n_global, d)[:n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_halo_gradients_flow():
+    """Gradients flow through the all_to_all (its transpose is the reverse
+    exchange) back to the weights."""
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        gp_halo_rgcn_layer,
+        partition_graph_halo,
+    )
+
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=64, seed=4)
+    n, d = feats.shape
+    L = len(adj)
+    params = rgcn_init(jax.random.PRNGKey(6), L, d)
+    shards, n_local, n_global, halo_pad = partition_graph_halo(feats, adj, P_DEV)
+    mesh = make_mesh(P_DEV, axis_name="gp")
+
+    def loss_fn(W, stacked):
+        def per_dev(W, shard):
+            shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+            out = gp_halo_rgcn_layer(W, shard, shard.node_features, "gp",
+                                     jax.nn.relu)
+            local = jnp.sum(out**2 * shard.node_mask[:, None])
+            return jax.lax.psum(local, "gp")
+
+        sharded = shard_map(per_dev, mesh=mesh, in_specs=(P(), P("gp")),
+                            out_specs=P(), check_vma=False)
+        return sharded(W, stacked)
+
+    dev_shards = jax.tree_util.tree_map(jnp.asarray, shards)
+    g = jax.jit(jax.grad(loss_fn))(params["W"], dev_shards)
+    assert float(jnp.abs(g).sum()) > 0

@@ -279,3 +279,185 @@ def make_gp_train_step(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange variant: communicate only boundary node features
+# ---------------------------------------------------------------------------
+
+
+class GPHaloShard(NamedTuple):
+    """Per-device piece for the halo-exchange strategy. Edge senders index
+    an EXTENDED local table [n_local + P * halo_pad] = own rows followed by
+    the all_to_all receive buffer (grouped by source device); the exchange
+    moves only boundary features — P * halo_pad * D per layer instead of
+    the all-gather's L * N * D."""
+
+    node_features: jnp.ndarray  # [Nl, F]
+    node_mask: jnp.ndarray  # [Nl]
+    send_idx: jnp.ndarray  # [P, halo_pad] int32 local rows to send to each dst
+    src_ext: jnp.ndarray  # [E_dev] int32: type * n_ext + extended-sender-index
+    receivers: jnp.ndarray  # [E_dev] int32 LOCAL, sorted; padding -> Nl
+    mask: jnp.ndarray  # [E_dev]
+    norm_scale: jnp.ndarray  # [E_dev]
+    perm_by_src: jnp.ndarray  # [E_dev]
+    perm_by_tgt: jnp.ndarray  # [E_dev] (receivers are sorted; identity ok)
+    tgt_flat: jnp.ndarray  # [E_dev] int32: type * n_ext + local receiver
+
+
+def partition_graph_halo(node_features, adjacency_lists, num_devices,
+                         typed_incoming_counts=None):
+    """Partition with per-pair halo lists (static halo_pad = max boundary
+    set over device pairs, bucketed)."""
+    n = node_features.shape[0]
+    L = len(adjacency_lists)
+    n_local = bucket_size(-(-n // num_devices), min_size=8)
+    n_global = n_local * num_devices
+    small = 1e-7
+
+    if typed_incoming_counts is None:
+        typed_incoming_counts = np.zeros((L, n), dtype=np.float32)
+        for l, adj in enumerate(adjacency_lists):
+            if adj.shape[0]:
+                np.add.at(typed_incoming_counts[l], adj[:, 1], 1.0)
+
+    # Edges per receiving device + the boundary (remote-sender) sets:
+    per_dev_edges = [[] for _ in range(num_devices)]
+    need = [[np.zeros(0, np.int64) for _ in range(num_devices)]
+            for _ in range(num_devices)]
+    for l, adj in enumerate(adjacency_lists):
+        if adj.shape[0] == 0:
+            continue
+        dev = adj[:, 1] // n_local
+        for q in range(num_devices):
+            sel = adj[dev == q]
+            if sel.shape[0]:
+                per_dev_edges[q].append((l, sel))
+    for q in range(num_devices):
+        snds = np.concatenate(
+            [a[:, 0] for _, a in per_dev_edges[q]]
+        ) if per_dev_edges[q] else np.zeros(0, np.int64)
+        src_dev = snds // n_local
+        for p in range(num_devices):
+            if p == q:
+                continue
+            need[q][p] = np.unique(snds[src_dev == p])
+
+    halo_pad = bucket_size(
+        max(max((len(need[q][p]) for q in range(num_devices)
+                 for p in range(num_devices)), default=1), 1),
+        min_size=8,
+    )
+    e_pad = bucket_size(
+        max(max((sum(a.shape[0] for _, a in d) for d in per_dev_edges),
+                default=1), 1),
+        min_size=64,
+    )
+    n_ext = n_local + num_devices * halo_pad
+
+    shards = []
+    for q in range(num_devices):
+        lo = q * n_local
+        f = np.zeros((n_local, node_features.shape[1]), np.float32)
+        m = np.zeros((n_local,), np.float32)
+        hi = min(lo + n_local, n)
+        if hi > lo:
+            f[: hi - lo] = node_features[lo:hi]
+            m[: hi - lo] = 1.0
+
+        # What THIS device sends to each destination d = need[d][q]:
+        send_idx = np.zeros((num_devices, halo_pad), np.int32)
+        for d in range(num_devices):
+            if d == q:
+                continue
+            lst = need[d][q] - lo
+            send_idx[d, : len(lst)] = lst
+
+        # Map global sender -> extended local index on q:
+        ext_of = {}
+        for p in range(num_devices):
+            for pos, g in enumerate(need[q][p]):
+                ext_of[int(g)] = n_local + p * halo_pad + pos
+
+        src = np.full((e_pad,), L * n_ext, np.int32)
+        tgt = np.full((e_pad,), L * n_ext, np.int32)
+        rcv = np.full((e_pad,), n_local, np.int32)
+        msk = np.zeros((e_pad,), np.float32)
+        nrm = np.zeros((e_pad,), np.float32)
+        off = 0
+        for l, adj in per_dev_edges[q]:
+            k = adj.shape[0]
+            loc = adj[:, 0] - lo
+            is_local = (adj[:, 0] // n_local) == q
+            ext = np.array(
+                [loc[i] if is_local[i] else ext_of[int(adj[i, 0])]
+                 for i in range(k)], np.int64,
+            )
+            src[off:off + k] = l * n_ext + ext
+            tgt[off:off + k] = l * n_ext + (adj[:, 1] - lo)
+            rcv[off:off + k] = adj[:, 1] - lo
+            msk[off:off + k] = 1.0
+            nrm[off:off + k] = 1.0 / (typed_incoming_counts[l][adj[:, 1]] + small)
+            off += k
+        order = np.argsort(rcv, kind="stable")
+        src, tgt, rcv, msk, nrm = (
+            src[order], tgt[order], rcv[order], msk[order], nrm[order]
+        )
+        shards.append(GPHaloShard(
+            node_features=f, node_mask=m, send_idx=send_idx,
+            src_ext=src, receivers=rcv, mask=msk, norm_scale=nrm,
+            perm_by_src=np.argsort(src, kind="stable").astype(np.int32),
+            perm_by_tgt=np.argsort(tgt, kind="stable").astype(np.int32),
+            tgt_flat=tgt,
+        ))
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shards)
+    return stacked, n_local, n_global, halo_pad
+
+
+class _HaloFlat(NamedTuple):
+    """FlatEdges-shaped view of a GPHaloShard's edge stream (src indices in
+    extended-table space)."""
+
+    src_flat: Any
+    tgt_flat: Any
+    receivers: Any
+    edge_type: Any
+    mask: Any
+    norm_scale: Any
+    perm_by_src: Any
+    perm_by_tgt: Any
+
+
+def _halo_exchange(shard: GPHaloShard, h_local, axis_name: str):
+    """Extended node table: own rows + boundary rows from every peer,
+    moved with ONE all_to_all of [P, halo_pad, D] over ICI."""
+    send = jnp.take(h_local, shard.send_idx, axis=0)  # [P, halo_pad, D]
+    halo = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=False
+    )  # [P, halo_pad, D] grouped by source device
+    return jnp.concatenate(
+        [h_local, halo.reshape(-1, h_local.shape[-1])], axis=0
+    )  # [n_ext, D]
+
+
+def gp_halo_rgcn_layer(W, shard: GPHaloShard, h_local, axis_name: str,
+                       activation_fn, normalize: bool = True):
+    """RGCN layer over the halo partition: exchange boundary features
+    (P * halo_pad * D), transform the extended table locally, gather +
+    sorted-scatter into local receivers. Communication is independent of
+    the number of edge types, unlike the all-gather variant."""
+    n_local = h_local.shape[0]
+    ext = _halo_exchange(shard, h_local, axis_name)
+    t = jnp.einsum("nd,lde->lne", ext, W, preferred_element_type=jnp.float32)
+    L, n_ext, D = t.shape
+    flat = _HaloFlat(
+        src_flat=shard.src_ext, tgt_flat=shard.tgt_flat,
+        receivers=shard.receivers, edge_type=None, mask=shard.mask,
+        norm_scale=shard.norm_scale, perm_by_src=shard.perm_by_src,
+        perm_by_tgt=shard.perm_by_tgt,
+    )
+    msgs = gather_flat_src(t.reshape(L * n_ext, D), flat)
+    if normalize:
+        msgs = msgs * shard.norm_scale[:, None]
+    agg = aggregate_flat(msgs, flat, n_local, "sum")
+    return activation_fn(agg)
