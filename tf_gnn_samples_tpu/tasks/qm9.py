@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from ..nn.mlp import mlp_apply, mlp_init
 from ..ops.segment import segment_sum
 from .base import (
-    BatchSpec,
     DataFold,
     SparseGraphTask,
     TaskBatch,
@@ -76,7 +75,6 @@ class QM9_Task(SparseGraphTask):
         super().__init__(params)
         self.__num_edge_types = 0
         self.__annotation_size = 0
-        self._batch_spec: Optional[BatchSpec] = None
 
     def get_metadata(self) -> Dict[str, Any]:
         metadata = super().get_metadata()
