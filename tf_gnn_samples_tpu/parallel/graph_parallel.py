@@ -201,13 +201,27 @@ def gp_film_layer(W, W_film, ln_params, shard: GPShard, h_local,
     return layer_norm(ln_params, agg)
 
 
-def make_gp_forward(layer_name: str, num_layers: int, axis_name: str = "gp"):
+def make_gp_forward(layer_name: str, num_layers: int, axis_name: str = "gp",
+                    residual_every: int = 10000, inter_layer_norm: bool = False):
     """Build a sharded multi-layer propagation fn(params, shard, feats) ->
-    final local node representations, for use inside shard_map."""
+    final local node representations, for use inside shard_map.
+
+    Mirrors the single-device propagation stack's residual-averaging and
+    inter-layer LayerNorm (models/sparse_graph_model.py:180-193) — both are
+    per-node elementwise, so they apply to the local shard unchanged.
+    """
     import jax.nn as jnn
 
-    def forward(layer_params_list, shard: GPShard, h_local):
-        for lp in layer_params_list:
+    from ..nn.normalization import layer_norm
+
+    def forward(layer_params_list, shard, h_local):
+        last_residual = jnp.zeros_like(h_local)
+        for i, lp in enumerate(layer_params_list):
+            if i % residual_every == 0:
+                t = h_local
+                if i > 0:
+                    h_local = (h_local + last_residual) / 2.0
+                last_residual = t
             if layer_name == "rgcn":
                 h_local = gp_rgcn_layer(
                     lp["W"], shard, h_local, axis_name, jnn.relu
@@ -222,6 +236,8 @@ def make_gp_forward(layer_name: str, num_layers: int, axis_name: str = "gp"):
                     "graph parallelism supports rgcn/gnn_film, got %s"
                     % layer_name
                 )
+            if inter_layer_norm and "inter_ln" in lp:
+                h_local = layer_norm(lp["inter_ln"], h_local)
         return h_local
 
     return forward
