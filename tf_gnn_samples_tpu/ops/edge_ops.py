@@ -214,46 +214,55 @@ def segment_softmax_flat(logits, flat, n_pad: int):
     return ex / (gather_node_tgt(denom, flat) + small)
 
 
-def dense_adjacency(graph, normalize: bool, dtype=jnp.float32):
+def dense_adjacency(graph, dtype=jnp.float32):
     """Materialize per-type dense adjacency matrices A_l [n_pad, n_pad] with
-    A_l[v, u] = (number of type-l edges u->v), or the 1/c_{v,l}-normalized
-    variant. Built on device by a scalar scatter-add (E float writes — cheap
-    next to edge-level feature traffic); padded edges (receiver == n_pad)
-    are dropped by out-of-bounds scatter semantics.
+    A_l[v, u] = (number of type-l edges u->v). Built on device by a scalar
+    scatter-add; padded edges (receiver == n_pad) are dropped by
+    out-of-bounds scatter semantics.
 
     This turns sum-aggregation of LINEAR messages into an MXU matmul:
         aggregate_l(W_l h) == A_l @ (h @ W_l)
     — the TPU-native strategy for small-to-medium padded graphs where
-    O(N^2 D) matmul beats O(E D) gather/scatter memory traffic.
+    O(N^2 D) matmul beats O(E D) gather/scatter memory traffic. Entries are
+    small integer edge multiplicities, exactly representable even in
+    bfloat16 — which halves the storage/read traffic when these matrices
+    are cached per device-resident batch (runtime/model.py). The 1/c
+    normalization is applied per receiver row AFTER the matmul
+    (diag(1/c_l) (A_l @ t_l) == aggregate of per-edge-normalized messages).
     """
     mats = []
     for e in graph.edges:
-        vals = (e.norm_scale if normalize else e.mask).astype(dtype)
         A = jnp.zeros((graph.n_pad, graph.n_pad), dtype=dtype)
-        A = A.at[e.receivers, e.senders].add(vals, mode="drop")
+        A = A.at[e.receivers, e.senders].add(e.mask.astype(dtype), mode="drop")
         mats.append(A)
     return mats
 
 
-def dense_aggregate_linear(transformed, graph, normalize: bool,
-                           matmul_dtype=jnp.float32):
+def dense_aggregate_linear(transformed, graph, normalize: bool):
     """Sum-aggregate per-type LINEAR messages via dense adjacency matmuls.
 
     transformed: [L, N, D] per-type transformed node states (so that the
     message along a type-l edge u->v is transformed[l, u]).
     Returns [N, D], numerically the sum-aggregation of gathered messages
-    (modulo float reassociation in the matmul reduction).
+    (modulo float reassociation in the matmul reduction; with cached
+    bfloat16 adjacencies the matmul runs at the TPU MXU's native bf16
+    input precision, which is also what XLA's default f32 matmul uses).
 
     Uses graph.dense_adj when the runtime pre-built it (hoisted out of the
-    layer loop, runtime/model.py); otherwise builds per call.
+    layer loop or cached per batch, runtime/model.py); otherwise builds
+    per call.
     """
     mats = graph.dense_adj
     if mats is None:
-        mats = dense_adjacency(graph, normalize, dtype=matmul_dtype)
+        mats = dense_adjacency(graph)
+    small = 1e-7  # SMALL_NUMBER
     out = None
     for l, A in enumerate(mats):
-        t = transformed[l].astype(matmul_dtype)
+        t = transformed[l].astype(A.dtype)
         part = jnp.dot(A, t, preferred_element_type=jnp.float32)
+        if normalize:
+            c = graph.typed_incoming_counts[l]
+            part = part * (1.0 / (c + small))[:, None]
         out = part if out is None else out + part
     return out
 

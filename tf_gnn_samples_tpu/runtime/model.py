@@ -154,6 +154,8 @@ class SparseGraphModel(ABC):
         self._dp_steps = None
         self._batch_cache: Dict[Any, List[TaskBatch]] = {}
         self._stacked_cache: Dict[Any, TaskBatch] = {}
+        self._jitted_adj_build = None
+        self._dense_adj_cached_gb = 0.0
 
     # -------------------- files --------------------
 
@@ -202,24 +204,13 @@ class SparseGraphModel(ABC):
 
         # Hoist the dense-adjacency build out of the layer loop: built once
         # per step, shared by every layer (and reused by the backward pass).
-        if self.layer_name in ("rgcn", "ggnn"):
-            from ..nn.layers import use_dense_strategy
+        # Skipped when the batch already carries cached adjacencies.
+        if batch.graph.dense_adj is None and self._wants_dense_adj(batch.graph):
             from ..ops.edge_ops import dense_adjacency
 
-            kw = self.layer_kwargs()
-            if use_dense_strategy(
-                batch.graph,
-                kw.get("message_aggregation_function", "sum"),
-                self.params.get("aggregation_strategy", "auto"),
-            ):
-                # RGCN normalizes by incoming counts (layer default, not
-                # exposed as a model param — gnns/rgcn.py:100-104); GGNN
-                # does not. Must match the layer's flag exactly since the
-                # prebuilt adjacency bakes the normalization in.
-                normalize = self.layer_name == "rgcn"
-                batch = batch._replace(graph=batch.graph._replace(
-                    dense_adj=tuple(dense_adjacency(batch.graph, normalize))
-                ))
+            batch = batch._replace(graph=batch.graph._replace(
+                dense_adj=tuple(dense_adjacency(batch.graph))
+            ))
 
         feats = self.task.input_apply(params["input"], batch, rng_in)
         final_h = propagation_apply(
@@ -336,6 +327,49 @@ class SparseGraphModel(ABC):
             f.write(msg + "\n")
         print(msg)
 
+    def _wants_dense_adj(self, graph) -> bool:
+        if self.layer_name not in ("rgcn", "ggnn"):
+            return False
+        from ..nn.layers import use_dense_strategy
+
+        kw = self.layer_kwargs()
+        return use_dense_strategy(
+            graph,
+            kw.get("message_aggregation_function", "sum"),
+            self.params.get("aggregation_strategy", "auto"),
+        )
+
+    def _attach_cached_dense_adj_fold(self, batches: List[TaskBatch]):
+        """When a fold's batches are device-resident across epochs, also
+        cache their dense adjacency matrices (built once per RUN instead
+        of once per step — the build is the single most expensive op of a
+        dense-strategy step). Stored in bfloat16: multiplicity entries are
+        small integers (exact), and the MXU matmul consumes bf16 inputs
+        anyway. All-or-nothing per fold, gated by a memory budget shared
+        across folds."""
+        if not batches or not self._wants_dense_adj(batches[0].graph):
+            return batches
+        budget = float(self.params.get("dense_adj_cache_budget_gb", 9.0))
+        n = batches[0].graph.n_pad
+        fold_gb = (
+            len(batches) * len(batches[0].graph.edges) * n * n * 2 / 1e9
+        )
+        if self._dense_adj_cached_gb + fold_gb > budget:
+            return batches
+        self._dense_adj_cached_gb += fold_gb
+        if self._jitted_adj_build is None:
+            from ..ops.edge_ops import dense_adjacency
+
+            self._jitted_adj_build = jax.jit(
+                lambda g: tuple(dense_adjacency(g, dtype=jnp.bfloat16))
+            )
+        return [
+            b._replace(graph=b.graph._replace(
+                dense_adj=self._jitted_adj_build(b.graph)
+            ))
+            for b in batches
+        ]
+
     def _device_batch(self, batch: TaskBatch) -> TaskBatch:
         # Keep the host-side stat ints out of the transfer (fetching them
         # back per batch would force a device sync each step).
@@ -423,7 +457,12 @@ class SparseGraphModel(ABC):
 
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
         if cache_on_device and not already_on_device:
-            self._batch_cache[data_fold] = to_cache
+            # All-or-nothing per fold: attaching adjacencies to only SOME
+            # batches would split the cached batches into two pytree
+            # structures and force an extra jit compilation.
+            self._batch_cache[data_fold] = self._attach_cached_dense_adj_fold(
+                to_cache
+            )
         # Single host sync at epoch end: fetch all metric scalars at once.
         host_metrics = jax.device_get(device_metrics)
         task_metric_results = [
