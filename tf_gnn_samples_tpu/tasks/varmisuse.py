@@ -88,6 +88,13 @@ static string struct switch this throw true try typeof uint ulong unchecked
 unsafe ushort using virtual void volatile while
 """.split())
 
+# Byte value -> alphabet code lookup (PAD=0, UNK=1, chars at idx+2). Built
+# once; non-ASCII and unknown bytes map to UNK.
+_BYTE_LUT = np.ones(256, dtype=np.uint8)  # default UNK
+for _ch, _code in ALPHABET_DICT.items():
+    if len(_ch) == 1:
+        _BYTE_LUT[ord(_ch)] = _code
+
 _IDENTIFIER_PART_RE = re.compile(
     r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z0-9]+|[A-Z]+|[0-9]+"
 )
@@ -148,12 +155,21 @@ def _load_single_sample(raw_sample, unsplittable_node_names,
     _add_per_subtoken_nodes(unsplittable_node_names, raw_sample["ContextGraph"])
     num_nodes = len(raw_sample["ContextGraph"]["NodeLabels"])
 
-    node_label_chars = np.zeros(
-        (num_nodes, graph_node_label_max_num_chars), dtype=np.uint8
-    )
+    # Vectorized char encoding: one byte-LUT pass over the concatenated
+    # labels instead of a per-character Python loop (this is the host-side
+    # hot path when parsing the 15 GB dataset).
+    C = graph_node_label_max_num_chars
+    node_label_chars = np.zeros((num_nodes, C), dtype=np.uint8)
     for node, label in raw_sample["ContextGraph"]["NodeLabels"].items():
-        for char_idx, ch in enumerate(label[:graph_node_label_max_num_chars].lower()):
-            node_label_chars[int(node), char_idx] = ALPHABET_DICT.get(ch, 1)
+        low = label[:C].lower()
+        if low.isascii():
+            lb = low.encode("ascii")
+            node_label_chars[int(node), : len(lb)] = _BYTE_LUT[
+                np.frombuffer(lb, dtype=np.uint8)
+            ]
+        else:  # rare non-ASCII label: per-character semantics (UNK each)
+            for char_idx, ch in enumerate(low):
+                node_label_chars[int(node), char_idx] = ALPHABET_DICT.get(ch, 1)
     uniq_chars, uniq_indices = np.unique(node_label_chars, axis=0, return_inverse=True)
 
     num_edge_types = len(PROGRAM_GRAPH_EDGES_TYPES_VOCAB) + (
