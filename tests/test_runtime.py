@@ -342,3 +342,44 @@ def test_all_model_families_train(model_name):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], (model_name, losses[:3], losses[-3:])
+
+
+def test_full_state_checkpoint_resume(tiny, tmp_path):
+    """Resume continues optimization exactly: train 6 epochs straight vs
+    3 epochs -> checkpoint -> resume 3 more; final params must match."""
+    import __graft_entry__ as ge
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+
+    def make():
+        m, t, s = ge._tiny_task_and_model("RGCN", hidden=16, n_layers=1, seed=13)
+        m.params.update({"max_epochs": 6, "patience": 100})
+        return m, t, s
+
+    # Straight run:
+    m1, t1, s1 = make()
+    t1._loaded_data[DataFold.TRAIN] = s1
+    t1._loaded_data[DataFold.VALIDATION] = s1[:4]
+    m1.result_dir = str(tmp_path / "a"); import os; os.makedirs(m1.result_dir)
+    m1.train(quiet=True)
+
+    # Interrupted run:
+    m2, t2, s2 = make()
+    t2._loaded_data[DataFold.TRAIN] = s2
+    t2._loaded_data[DataFold.VALIDATION] = s2[:4]
+    m2.result_dir = str(tmp_path / "b"); os.makedirs(m2.result_dir)
+    m2.params["max_epochs"] = 3
+    m2.params["checkpoint_every_n_epochs"] = 3
+    m2.train(quiet=True)
+    ckpt = m2.training_state_file
+    assert os.path.exists(ckpt)
+
+    m3, t3, s3 = make()
+    t3._loaded_data[DataFold.TRAIN] = s3
+    t3._loaded_data[DataFold.VALIDATION] = s3[:4]
+    m3.result_dir = str(tmp_path / "c"); os.makedirs(m3.result_dir)
+    m3.train(quiet=True, resume_from=ckpt)
+
+    for a, b in zip(jax.tree_util.tree_leaves(m1.model_params_tree),
+                    jax.tree_util.tree_leaves(m3.model_params_tree)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

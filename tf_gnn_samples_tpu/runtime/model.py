@@ -319,6 +319,53 @@ class SparseGraphModel(ABC):
         self.model_params_tree = unflatten_like(self.model_params_tree, weights)
         self.opt_state = self._optimizer.init(self.model_params_tree)
 
+    # -------------------- full training-state checkpoint ----------------
+    # NEW capability: the reference's best-model pickle carries weights
+    # only, so "resume" restarts optimization from scratch with the best
+    # weights (SURVEY.md §5: no optimizer-state or epoch persistence).
+    # These checkpoints additionally carry optimizer slots, the epoch
+    # counter, the early-stopping state and the host RNG, so training can
+    # continue exactly where it stopped.
+
+    def save_training_state(self, path: str, epoch: int,
+                            early_stop_state: Dict[str, Any]) -> None:
+        state = {
+            "model_class": self.name(self.params),
+            "task_class": self.task.name(),
+            "model_params": self.params,
+            "task_params": self.task.params,
+            "task_metadata": self.task.get_metadata(),
+            "weights": flatten_params(self.model_params_tree),
+            "opt_slots": flatten_params(self.opt_state.slots),
+            "opt_step": int(self.opt_state.step),
+            "epoch": epoch,
+            "early_stop_state": early_stop_state,
+            "step_rng_state": self._step_rng.get_state(),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
+
+    def restore_training_state(self, path: str) -> Dict[str, Any]:
+        """Load a full-state checkpoint; returns {'epoch', 'early_stop_state'}
+        for the train loop to continue from."""
+        from .optimizers import OptimizerState
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.model_params_tree = unflatten_like(
+            self.model_params_tree, state["weights"]
+        )
+        self.opt_state = OptimizerState(
+            step=jnp.asarray(state["opt_step"], jnp.int32),
+            slots=unflatten_like(
+                self._optimizer.init(self.model_params_tree).slots,
+                state["opt_slots"],
+            ),
+        )
+        self._step_rng.set_state(state["step_rng_state"])
+        return {"epoch": state["epoch"],
+                "early_stop_state": state["early_stop_state"]}
+
     # -------------------- epoch driver --------------------
 
     def log_line(self, msg: str) -> None:
@@ -662,9 +709,21 @@ class SparseGraphModel(ABC):
 
     # -------------------- train / test --------------------
 
-    def train(self, quiet: bool = False, tf_summary_path: Optional[str] = None):
+    @property
+    def training_state_file(self):
+        return os.path.join(
+            self.result_dir, "%s_training_state.pickle" % self.run_id
+        )
+
+    def train(self, quiet: bool = False, tf_summary_path: Optional[str] = None,
+              resume_from: Optional[str] = None):
         """Patience-based early-stopped training; log format kept verbatim
-        (the bench scripts regex these lines, run_ppi_benchs.py:21-22,49-56)."""
+        (the bench scripts regex these lines, run_ppi_benchs.py:21-22,49-56).
+
+        resume_from: optional full-state checkpoint (save_training_state);
+        continues from the saved epoch with optimizer slots and
+        early-stopping state intact. `checkpoint_every_n_epochs` (model
+        param, default off) writes such checkpoints periodically."""
         total_time_start = time.time()
         metrics_writer = None
         if tf_summary_path is not None:
@@ -675,7 +734,18 @@ class SparseGraphModel(ABC):
         best_valid_metric, best_val_metric_epoch, best_val_metric_descr = (
             float("+inf"), 0, "",
         )
-        for epoch in range(1, self.params["max_epochs"] + 1):
+        start_epoch = 1
+        if resume_from is not None:
+            resumed = self.restore_training_state(resume_from)
+            start_epoch = resumed["epoch"] + 1
+            es = resumed["early_stop_state"]
+            best_valid_metric = es["best_valid_metric"]
+            best_val_metric_epoch = es["best_val_metric_epoch"]
+            best_val_metric_descr = es["best_val_metric_descr"]
+            self.log_line("Resuming from %s at epoch %i."
+                          % (resume_from, start_epoch))
+        ckpt_every = self.params.get("checkpoint_every_n_epochs") or 0
+        for epoch in range(start_epoch, self.params["max_epochs"] + 1):
             self.log_line("== Epoch %i" % epoch)
             (train_loss, train_task_metrics, train_num_graphs,
              train_graphs_p_s, train_nodes_p_s, train_edges_p_s) = self._run_epoch(
@@ -748,6 +818,14 @@ class SparseGraphModel(ABC):
                     % (total_time, best_val_metric_descr)
                 )
                 break
+
+            if ckpt_every and epoch % ckpt_every == 0:
+                self.save_training_state(
+                    self.training_state_file, epoch,
+                    {"best_valid_metric": best_valid_metric,
+                     "best_val_metric_epoch": best_val_metric_epoch,
+                     "best_val_metric_descr": best_val_metric_descr},
+                )
 
     def test(self, path: Optional[str], quiet: bool = False):
         self.log_line("== Running Test on %s ==" % (path,))

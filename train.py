@@ -39,6 +39,9 @@ def get_train_args(argv=None):
     parser.add_argument("--tensorboard", default=None, help="Dump metric JSONL files to DIR.")
     parser.add_argument("--profile-dir", default=None,
                         help="Capture a jax.profiler trace of training to DIR.")
+    parser.add_argument("--resume", default=None, metavar="STATE_PICKLE",
+                        help="Resume from a full training-state checkpoint "
+                             "(written when checkpoint_every_n_epochs is set).")
     parser.add_argument("--azure-info", default="azure_auth.json",
                         help="Accepted for CLI parity; Azure paths are not supported.")
     parser.add_argument("--debug", action="store_true")
@@ -96,7 +99,8 @@ def run(args):
         from tf_gnn_samples_tpu.utils.profiling import trace_if
 
         with trace_if(args.profile_dir):
-            model.train(quiet=args.quiet, tf_summary_path=args.tensorboard)
+            model.train(quiet=args.quiet, tf_summary_path=args.tensorboard,
+                        resume_from=args.resume)
 
         if args.run_test:
             test(model.best_model_file, data_path, result_dir,
