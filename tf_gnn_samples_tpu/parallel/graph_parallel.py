@@ -62,6 +62,47 @@ class GPShard(NamedTuple):
     flat: GPFlatEdges
 
 
+def _partition_prologue(node_features, adjacency_lists, num_devices,
+                        typed_incoming_counts):
+    """Shared host-side prologue of both partitioners: contiguous node
+    ranges, incoming-count computation, receiver-device edge assignment,
+    and per-device feature/mask slices."""
+    n = node_features.shape[0]
+    L = len(adjacency_lists)
+    n_local = bucket_size(-(-n // num_devices), min_size=8)
+    n_global = n_local * num_devices
+
+    if typed_incoming_counts is None:
+        typed_incoming_counts = np.zeros((L, n), dtype=np.float32)
+        for l, adj in enumerate(adjacency_lists):
+            if adj.shape[0]:
+                np.add.at(typed_incoming_counts[l], adj[:, 1], 1.0)
+
+    per_dev_edges = [[] for _ in range(num_devices)]
+    for l, adj in enumerate(adjacency_lists):
+        if adj.shape[0] == 0:
+            continue
+        dev = adj[:, 1] // n_local
+        for p in range(num_devices):
+            sel = adj[dev == p]
+            if sel.shape[0]:
+                per_dev_edges[p].append((l, sel))
+
+    feats, masks = [], []
+    for p in range(num_devices):
+        lo = p * n_local
+        f = np.zeros((n_local, node_features.shape[1]), np.float32)
+        m = np.zeros((n_local,), np.float32)
+        hi = min(lo + n_local, n)
+        if hi > lo:
+            f[: hi - lo] = node_features[lo:hi]
+            m[: hi - lo] = 1.0
+        feats.append(f)
+        masks.append(m)
+    return (n_local, n_global, typed_incoming_counts, per_dev_edges,
+            feats, masks)
+
+
 def partition_graph(
     node_features: np.ndarray,
     adjacency_lists: List[np.ndarray],
@@ -73,44 +114,20 @@ def partition_graph(
     Returns (stacked GPShard pytree with leading device axis, n_local,
     n_global). Per-device edge counts are padded to a common static size.
     """
-    n = node_features.shape[0]
     L = len(adjacency_lists)
-    n_local = bucket_size(-(-n // num_devices), min_size=8)
-    n_global = n_local * num_devices
-
     small = 1e-7
-    if typed_incoming_counts is None:
-        typed_incoming_counts = np.zeros((L, n), dtype=np.float32)
-        for l, adj in enumerate(adjacency_lists):
-            if adj.shape[0]:
-                np.add.at(typed_incoming_counts[l], adj[:, 1], 1.0)
-
-    # Assign each edge to its receiver's device:
-    per_dev_edges: List[List[Tuple[int, np.ndarray]]] = [[] for _ in range(num_devices)]
-    for l, adj in enumerate(adjacency_lists):
-        if adj.shape[0] == 0:
-            continue
-        dev = adj[:, 1] // n_local
-        for p in range(num_devices):
-            sel = adj[dev == p]
-            if sel.shape[0]:
-                per_dev_edges[p].append((l, sel))
-
+    (n_local, n_global, typed_incoming_counts, per_dev_edges,
+     feats, masks) = _partition_prologue(
+        node_features, adjacency_lists, num_devices, typed_incoming_counts
+    )
     e_pad = bucket_size(
         max(max((sum(a.shape[0] for _, a in d) for d in per_dev_edges), default=1), 1),
         min_size=64,
     )
 
-    feats, masks, flats = [], [], []
+    flats = []
     for p in range(num_devices):
         lo = p * n_local
-        f = np.zeros((n_local, node_features.shape[1]), np.float32)
-        m = np.zeros((n_local,), np.float32)
-        hi = min(lo + n_local, n)
-        if hi > lo:
-            f[: hi - lo] = node_features[lo:hi]
-            m[: hi - lo] = 1.0
-
         src = np.full((e_pad,), L * n_global, np.int32)
         tgt = np.full((e_pad,), L * n_global, np.int32)
         rcv = np.full((e_pad,), n_local, np.int32)
@@ -140,8 +157,6 @@ def partition_graph(
             perm_by_src=np.argsort(src, kind="stable").astype(np.int32),
             perm_by_tgt=np.argsort(tgt, kind="stable").astype(np.int32),
         ))
-        feats.append(f)
-        masks.append(m)
 
     shards = [
         GPShard(node_features=feats[p], node_mask=masks[p], flat=flats[p])
@@ -251,6 +266,8 @@ def make_gp_train_step(
     clip_norm: float,
     mesh: Mesh,
     axis_name: str = "gp",
+    residual_every: int = 10000,
+    inter_layer_norm: bool = False,
 ):
     """Jitted graph-parallel train step for a node-level sigmoid-CE head
     (PPI-style): node states and edges sharded over `axis_name`, params
@@ -259,7 +276,9 @@ def make_gp_train_step(
     step(params, opt_state, stacked_shard, labels_sharded, lr) ->
     (params, opt_state, loss)
     """
-    forward = make_gp_forward(layer_name, num_layers, axis_name)
+    forward = make_gp_forward(layer_name, num_layers, axis_name,
+                              residual_every=residual_every,
+                              inter_layer_norm=inter_layer_norm)
 
     def per_device(params, opt_state, shard: GPShard, labels, lr):
         shard = jax.tree_util.tree_map(lambda x: x[0], shard)
@@ -325,30 +344,16 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
                          typed_incoming_counts=None):
     """Partition with per-pair halo lists (static halo_pad = max boundary
     set over device pairs, bucketed)."""
-    n = node_features.shape[0]
     L = len(adjacency_lists)
-    n_local = bucket_size(-(-n // num_devices), min_size=8)
-    n_global = n_local * num_devices
     small = 1e-7
+    (n_local, n_global, typed_incoming_counts, per_dev_edges,
+     feats, masks) = _partition_prologue(
+        node_features, adjacency_lists, num_devices, typed_incoming_counts
+    )
 
-    if typed_incoming_counts is None:
-        typed_incoming_counts = np.zeros((L, n), dtype=np.float32)
-        for l, adj in enumerate(adjacency_lists):
-            if adj.shape[0]:
-                np.add.at(typed_incoming_counts[l], adj[:, 1], 1.0)
-
-    # Edges per receiving device + the boundary (remote-sender) sets:
-    per_dev_edges = [[] for _ in range(num_devices)]
+    # Boundary (remote-sender) sets per (receiving q, owning p) pair:
     need = [[np.zeros(0, np.int64) for _ in range(num_devices)]
             for _ in range(num_devices)]
-    for l, adj in enumerate(adjacency_lists):
-        if adj.shape[0] == 0:
-            continue
-        dev = adj[:, 1] // n_local
-        for q in range(num_devices):
-            sel = adj[dev == q]
-            if sel.shape[0]:
-                per_dev_edges[q].append((l, sel))
     for q in range(num_devices):
         snds = np.concatenate(
             [a[:, 0] for _, a in per_dev_edges[q]]
@@ -374,13 +379,6 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
     shards = []
     for q in range(num_devices):
         lo = q * n_local
-        f = np.zeros((n_local, node_features.shape[1]), np.float32)
-        m = np.zeros((n_local,), np.float32)
-        hi = min(lo + n_local, n)
-        if hi > lo:
-            f[: hi - lo] = node_features[lo:hi]
-            m[: hi - lo] = 1.0
-
         # What THIS device sends to each destination d = need[d][q]:
         send_idx = np.zeros((num_devices, halo_pad), np.int32)
         for d in range(num_devices):
@@ -388,12 +386,6 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
                 continue
             lst = need[d][q] - lo
             send_idx[d, : len(lst)] = lst
-
-        # Map global sender -> extended local index on q:
-        ext_of = {}
-        for p in range(num_devices):
-            for pos, g in enumerate(need[q][p]):
-                ext_of[int(g)] = n_local + p * halo_pad + pos
 
         src = np.full((e_pad,), L * n_ext, np.int32)
         tgt = np.full((e_pad,), L * n_ext, np.int32)
@@ -404,11 +396,19 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
         for l, adj in per_dev_edges[q]:
             k = adj.shape[0]
             loc = adj[:, 0] - lo
-            is_local = (adj[:, 0] // n_local) == q
-            ext = np.array(
-                [loc[i] if is_local[i] else ext_of[int(adj[i, 0])]
-                 for i in range(k)], np.int64,
-            )
+            src_dev = adj[:, 0] // n_local
+            is_local = src_dev == q
+            # Vectorized extended-index mapping: need[q][p] is sorted, so a
+            # remote sender's halo slot is its searchsorted position.
+            ext = loc.astype(np.int64).copy()
+            for pdev in range(num_devices):
+                if pdev == q or len(need[q][pdev]) == 0:
+                    continue
+                sel = src_dev == pdev
+                if not sel.any():
+                    continue
+                pos = np.searchsorted(need[q][pdev], adj[sel, 0])
+                ext[sel] = n_local + pdev * halo_pad + pos
             src[off:off + k] = l * n_ext + ext
             tgt[off:off + k] = l * n_ext + (adj[:, 1] - lo)
             rcv[off:off + k] = adj[:, 1] - lo
@@ -420,7 +420,7 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
             src[order], tgt[order], rcv[order], msk[order], nrm[order]
         )
         shards.append(GPHaloShard(
-            node_features=f, node_mask=m, send_idx=send_idx,
+            node_features=feats[q], node_mask=masks[q], send_idx=send_idx,
             src_ext=src, receivers=rcv, mask=msk, norm_scale=nrm,
             perm_by_src=np.argsort(src, kind="stable").astype(np.int32),
             perm_by_tgt=np.argsort(tgt, kind="stable").astype(np.int32),

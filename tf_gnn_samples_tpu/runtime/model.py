@@ -341,6 +341,10 @@ class SparseGraphModel(ABC):
             "epoch": epoch,
             "early_stop_state": early_stop_state,
             "step_rng_state": self._step_rng.get_state(),
+            # The global numpy RNG drives per-epoch TRAIN shuffles in the
+            # tasks (e.g. qm9.py make_minibatch_iterator) — it must travel
+            # with the checkpoint for resume to replay the same batching.
+            "np_random_state": np.random.get_state(),
         }
         with open(path, "wb") as f:
             pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
@@ -363,6 +367,7 @@ class SparseGraphModel(ABC):
             ),
         )
         self._step_rng.set_state(state["step_rng_state"])
+        np.random.set_state(state["np_random_state"])
         return {"epoch": state["epoch"],
                 "early_stop_state": state["early_stop_state"]}
 
@@ -650,11 +655,19 @@ class SparseGraphModel(ABC):
 
         stacked = self._stacked_cache.get(data_fold)
         if stacked is None:
+            # Cached dense adjacencies are NOT stacked: a [B, L, N, N]
+            # stack (plus the per-epoch shuffled copy below) would blow
+            # the dense_adj_cache_budget several times over; the scan body
+            # rebuilds the adjacency per step instead.
+            cached_nodense = [
+                b._replace(graph=b.graph._replace(dense_adj=None))
+                for b in cached
+            ]
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(
                     [jnp.asarray(x) for x in xs], axis=0
                 ),
-                *cached,
+                *cached_nodense,
             )
             self._stacked_cache[data_fold] = stacked
             # Keep only host-side stats; drop the per-batch device arrays

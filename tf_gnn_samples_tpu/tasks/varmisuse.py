@@ -167,8 +167,9 @@ def _load_single_sample(raw_sample, unsplittable_node_names,
             node_label_chars[int(node), : len(lb)] = _BYTE_LUT[
                 np.frombuffer(lb, dtype=np.uint8)
             ]
-        else:  # rare non-ASCII label: per-character semantics (UNK each)
-            for char_idx, ch in enumerate(low):
+        else:  # rare non-ASCII label: per-character semantics (UNK each).
+            # .lower() can LENGTHEN some unicode strings — re-clamp to C.
+            for char_idx, ch in enumerate(low[:C]):
                 node_label_chars[int(node), char_idx] = ALPHABET_DICT.get(ch, 1)
     uniq_chars, uniq_indices = np.unique(node_label_chars, axis=0, return_inverse=True)
 
