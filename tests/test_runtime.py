@@ -346,13 +346,17 @@ def test_all_model_families_train(model_name):
 
 def test_full_state_checkpoint_resume(tiny, tmp_path):
     """Resume continues optimization exactly: train 6 epochs straight vs
-    3 epochs -> checkpoint -> resume 3 more; final params must match."""
+    3 epochs -> checkpoint -> resume 3 more; final params must match.
+    Uses a small node budget so each epoch has MULTIPLE shuffled batches —
+    this covers the global-numpy-RNG restore (epoch shuffles must replay
+    identically after resume)."""
     import __graft_entry__ as ge
     from tf_gnn_samples_tpu.tasks.base import DataFold
 
     def make():
         m, t, s = ge._tiny_task_and_model("RGCN", hidden=16, n_layers=1, seed=13)
-        m.params.update({"max_epochs": 6, "patience": 100})
+        m.params.update({"max_epochs": 6, "patience": 100,
+                         "max_nodes_in_batch": 40})
         return m, t, s
 
     # Straight run:
