@@ -270,3 +270,41 @@ def test_varmisuse_self_loops_with_parallel_loader(tmp_path):
     # A plain instance constructed afterwards is unaffected:
     task2 = VarMisuse_Task(VarMisuse_Task.default_params())
     assert task2.num_edge_types == 22
+
+
+def test_qm9_multi_property_training(tmp_path):
+    """QM9 trains multiple properties in one run (task_ids list), with one
+    gated head and one MAE metric per property (qm9_task.py:163-196)."""
+    import __graft_entry__ as ge
+    from tf_gnn_samples_tpu.tasks.qm9 import QM9_Task, GraphSample
+
+    model, task, samples = ge._tiny_task_and_model("RGCN", hidden=16, n_layers=1)
+    params = QM9_Task.default_params()
+    params["task_ids"] = [0, 5]
+    multi = QM9_Task(params)
+    multi.restore_from_metadata(
+        {"params": params, "num_edge_types": 4, "annotation_size": 15}
+    )
+    rng = np.random.RandomState(0)
+    samples2 = [
+        GraphSample(
+            adjacency_lists=s.adjacency_lists,
+            type_to_node_to_num_incoming_edges=s.type_to_node_to_num_incoming_edges,
+            node_features=s.node_features,
+            target_values=rng.randn(2).astype(np.float32),
+        )
+        for s in samples
+    ]
+    from tf_gnn_samples_tpu.runtime.model import RGCN_Model
+
+    p = RGCN_Model.default_params()
+    p.update({"graph_num_layers": 1, "hidden_size": 16, "max_nodes_in_batch": 200})
+    m = RGCN_Model(p, multi, "t", str(tmp_path))
+    b = next(iter(multi.make_minibatch_iterator(samples2, DataFold.VALIDATION, 200)))
+    loss, metrics = m._forward(m.model_params_tree, m._device_batch(b), None)
+    assert "abs_err_task0" in metrics and "abs_err_task5" in metrics
+    assert np.isfinite(float(loss))
+    out = multi.pretty_print_epoch_task_metrics(
+        [{k: np.asarray(v) for k, v in metrics.items()}], int(b.num_graphs)
+    )
+    assert "0:" in out and "5:" in out
