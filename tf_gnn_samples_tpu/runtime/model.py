@@ -747,6 +747,7 @@ class SparseGraphModel(ABC):
         best_valid_metric, best_val_metric_epoch, best_val_metric_descr = (
             float("+inf"), 0, "",
         )
+        total_num_graphs = 0  # metrics x-axis (reference sparse_graph_model.py:143-151)
         start_epoch = 1
         if resume_from is not None:
             resumed = self.restore_training_state(resume_from)
@@ -779,10 +780,12 @@ class SparseGraphModel(ABC):
                     train_graphs_p_s, train_nodes_p_s, train_edges_p_s,
                 )
             )
+            total_num_graphs += train_num_graphs
             if metrics_writer is not None:
                 metrics_writer.write(
-                    "train", epoch, {"loss": train_loss,
-                                     "graphs_per_sec": train_graphs_p_s}
+                    "train", total_num_graphs,
+                    {"loss": train_loss, "epoch": epoch,
+                     "graphs_per_sec": train_graphs_p_s},
                 )
 
             (valid_loss, valid_task_metrics, valid_num_graphs,
@@ -807,8 +810,9 @@ class SparseGraphModel(ABC):
             )
             if metrics_writer is not None:
                 metrics_writer.write(
-                    "valid", epoch, {"loss": valid_loss,
-                                     "early_stopping_metric": early_stopping_metric}
+                    "valid", total_num_graphs,
+                    {"loss": valid_loss, "epoch": epoch,
+                     "early_stopping_metric": early_stopping_metric},
                 )
 
             if early_stopping_metric < best_valid_metric:

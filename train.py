@@ -15,6 +15,8 @@ import argparse
 import json
 import os
 import pdb
+import subprocess
+import sys
 import time
 import traceback
 
@@ -94,6 +96,22 @@ def run(args):
         model.log_line("Run %s starting." % run_id)
         model.log_line(" Using the following task params: %s" % json.dumps(task_params))
         model.log_line(" Using the following model params: %s" % json.dumps(model_params))
+
+        if sys.stdin.isatty():
+            # Best-effort git tag of the run (reference train.py:88-94 via
+            # dpu_utils.git_tag_run).
+            try:
+                sha = subprocess.check_output(
+                    ["git", "rev-parse", "HEAD"], text=True,
+                    stderr=subprocess.DEVNULL,
+                ).strip()
+                subprocess.check_call(
+                    ["git", "tag", run_id],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                model.log_line(" git tagged as %s" % sha)
+            except Exception:
+                print(" Tried tagging run in git, but failed.")
 
         model.initialize_model()
         from tf_gnn_samples_tpu.utils.profiling import trace_if
