@@ -80,3 +80,38 @@ def test_train_cli_varmisuse(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Accuracy:" in r.stdout
+
+
+@pytest.mark.slow
+def test_varmisuse_data_splitter_cli(tmp_path):
+    """The splitter CLI re-shards raw .json.gz files into chunk_*.jsonl.gz
+    with all samples preserved (utils/varmisuse_data_splitter.py)."""
+    import gzip
+    import json as json_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    total = 0
+    for shard in range(3):
+        samples = [{"id": shard * 100 + i} for i in range(7)]
+        total += len(samples)
+        with gzip.open(raw / ("f%d.json.gz" % shard), "wt") as f:
+            json_mod.dump(samples, f)
+    out = tmp_path / "out"
+
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "tf_gnn_samples_tpu.utils.varmisuse_data_splitter",
+         str(raw), str(out), "--chunk-size", "4", "--window-size", "10",
+         "--num-workers", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    chunks = sorted(out.glob("chunk_*.jsonl.gz"))
+    assert chunks
+    seen = []
+    for c in chunks:
+        with gzip.open(c, "rt") as f:
+            seen.extend(json_mod.loads(line)["id"] for line in f)
+    assert sorted(seen) == sorted(s * 100 + i for s in range(3) for i in range(7))
