@@ -33,13 +33,19 @@ def run(args):
     num_seeds = int(args.num_runs)
     print("| %- 13s | %- 17s | %- 10s |" % ("Model", "Avg. MicroF1", "Avg. Time"))
     print("|" + "-" * 15 + "|" + "-" * 19 + "|" + "-" * 12 + "|")
-    for model in MODEL_TYPES:
+    models = args.models.split(",") if args.models else MODEL_TYPES
+    for model in models:
         model_f1s, model_times = [], []
         for seed in range(1, 1 + num_seeds):
             logfile = os.path.join(target_dir, "%s_seed%i.txt" % (model.lower(), seed))
+            overrides = {"random_seed": seed}
+            if args.extra_model_overrides:
+                import json as json_mod
+
+                overrides.update(json_mod.loads(args.extra_model_overrides))
             cmd = [sys.executable, "train.py", "--quiet", "--run-test",
                    model, "PPI",
-                   "--model-param-overrides", '{"random_seed": %i}' % seed]
+                   "--model-param-overrides", __import__("json").dumps(overrides)]
             if args.data_path:
                 cmd += ["--data-path", args.data_path]
             with open(logfile, "w") as log_fh:
@@ -63,4 +69,10 @@ if __name__ == "__main__":
     parser.add_argument("--num-runs", default=10)
     parser.add_argument("--data-path", default=None,
                         help="Optional PPI data directory forwarded to train.py.")
+    parser.add_argument("--models", default=None,
+                        help="Comma-separated subset of models to run "
+                             "(extension; default = the reference's full list).")
+    parser.add_argument("--extra-model-overrides", default=None,
+                        help="Extra JSON model-param overrides merged into "
+                             "every run (extension; e.g. for smoke tests).")
     run(parser.parse_args())

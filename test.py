@@ -11,9 +11,16 @@ Usage:
 
 import argparse
 import json
+import os
 import pdb
 import traceback
 from typing import Optional
+
+if os.environ.get("TFGNN_FORCE_PLATFORM"):
+    # See train.py: pins the JAX platform before backend init.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["TFGNN_FORCE_PLATFORM"])
 
 from tf_gnn_samples_tpu.utils.registry import restore
 

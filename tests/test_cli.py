@@ -115,3 +115,38 @@ def test_varmisuse_data_splitter_cli(tmp_path):
         with gzip.open(c, "rt") as f:
             seen.extend(json_mod.loads(line)["id"] for line in f)
     assert sorted(seen) == sorted(s * 100 + i for s in range(3) for i in range(7))
+
+
+@pytest.mark.slow
+def test_run_ppi_benchs_harness(tmp_path):
+    """The PPI bench harness end-to-end: forks train.py, scrapes the log
+    format, prints the mean +/- std table (validates the regex-log
+    contract the reference relies on, run_ppi_benchs.py:21-22)."""
+    data_dir = make_ppi_dir(str(tmp_path / "ppi"),
+                            graphs_per_fold={"train": 3, "valid": 2, "test": 2},
+                            nodes_per_graph=80, fwd_edges_per_node=3)
+    env = dict(os.environ)
+    env["TFGNN_FORCE_PLATFORM"] = "cpu"  # reaches the forked train.py too
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy, sys; sys.argv = %r;"
+        "runpy.run_path(%r, run_name='__main__')"
+        % ([
+            "run_ppi_benchs.py", str(tmp_path / "logs"),
+            "--num-runs", "1", "--models", "GGNN",
+            "--data-path", data_dir,
+            "--extra-model-overrides",
+            '{"max_epochs": 3, "patience": 1, "graph_num_layers": 1, '
+            '"hidden_size": 16, "max_nodes_in_batch": 300, '
+            '"learning_rate": 0.0}',
+        ], os.path.join(REPO, "run_ppi_benchs.py"))
+    )
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # Table row with a scraped MicroF1 and a time:
+    import re as re_mod
+
+    row = [l for l in r.stdout.splitlines() if l.startswith("| GGNN")]
+    assert row, r.stdout[-1500:]
+    assert re_mod.search(r"\| GGNN\s+\| 0\.\d+ \(\+/- 0\.\d+\) \|\s+\d+", row[0]), row[0]

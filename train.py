@@ -20,6 +20,14 @@ import sys
 import time
 import traceback
 
+if os.environ.get("TFGNN_FORCE_PLATFORM"):
+    # Honored before any JAX backend initialization. Needed because this
+    # environment's TPU plugin overrides the standard JAX_PLATFORMS env
+    # var; used by subprocess harnesses (tests, bench scripts) to pin CPU.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["TFGNN_FORCE_PLATFORM"])
+
 from tf_gnn_samples_tpu.utils.registry import name_to_model_class, name_to_task_class
 from test import test
 
