@@ -1,0 +1,152 @@
+"""Rank-table streaming kernels (ops/ranked_segment.py) vs XLA oracles.
+
+Runs the Pallas kernels in interpreter mode on CPU (the conftest forces
+JAX_PLATFORMS=cpu), exercising the exact kernel logic that compiles on TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tf_gnn_samples_tpu.ops import ranked_segment as rs
+
+
+def make_stream(rng, e_tot, n_real, n_pad, frac_pad=0.1):
+    """Receiver-sorted edge stream with gap-free ranks and a padded tail."""
+    n_edges = int(e_tot * (1 - frac_pad))
+    rcv = np.sort(rng.randint(0, n_real, size=n_edges)).astype(np.int32)
+    uniq, rank = np.unique(rcv, return_inverse=True)
+    rank = rank.astype(np.int32)
+    dump_rank = int(rank[-1]) + 1 if n_edges else 0
+    full_rank = np.full(e_tot, dump_rank, dtype=np.int32)
+    full_rank[:n_edges] = rank
+    node_to_rank = np.zeros(n_pad, dtype=np.int32)
+    node_to_rank[uniq] = np.arange(len(uniq))
+    has_in = np.zeros(n_pad, dtype=np.float32)
+    has_in[uniq] = 1.0
+    return full_rank, node_to_rank, has_in, n_edges
+
+
+@pytest.fixture(autouse=True)
+def _force_interpret(monkeypatch):
+    monkeypatch.setattr(rs, "_FORCE_INTERPRET", True)
+
+
+@pytest.mark.parametrize("block_edges", [128, 256])
+def test_segment_sum_matches_xla(block_edges):
+    rng = np.random.RandomState(0)
+    e_tot, n_real, n_pad, d = 4096, 300, 320, 64
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
+    out = rs.ranked_segment_sum_table(msgs, jnp.asarray(rank), n_pad,
+                                      block_edges)
+    ref = rs.xla_segment_sum_table(msgs, jnp.asarray(rank), n_pad,
+                                   block_edges)
+    # bf16 rounding of message values inside the kernel:
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_segment_sum_exact_on_bf16_inputs():
+    rng = np.random.RandomState(1)
+    e_tot, n_real, n_pad, d = 2048, 150, 256, 128
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    msgs = jnp.asarray(rng.randn(e_tot, d)).astype(jnp.bfloat16)
+    out = rs.ranked_segment_sum_table(msgs, jnp.asarray(rank), n_pad, 256)
+    ref = rs.xla_segment_sum_table(msgs.astype(jnp.float32),
+                                   jnp.asarray(rank), n_pad, 256)
+    # identical accumulation order per rank (stream order), f32 accumulate:
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_expand_matches_take():
+    rng = np.random.RandomState(2)
+    e_tot, n_real, n_pad, d = 4096, 200, 256, 96
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    rpad = rs.rank_table_rows(n_pad, 256)
+    table = jnp.asarray(rng.randn(rpad, d).astype(np.float32))
+    out = rs.ranked_expand_table(table, jnp.asarray(rank), n_pad, 256)
+    ref = rs.xla_expand_table(table, jnp.asarray(rank), n_pad, 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_segment_sum_vjp_is_expand():
+    rng = np.random.RandomState(3)
+    e_tot, n_real, n_pad, d = 2048, 100, 128, 32
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
+    rpad = rs.rank_table_rows(n_pad, 256)
+    w = jnp.asarray(rng.randn(rpad, d).astype(np.float32))
+
+    def loss_k(m):
+        return jnp.sum(rs.ranked_segment_sum_table(m, jnp.asarray(rank),
+                                                   n_pad, 256) * w)
+
+    def loss_x(m):
+        return jnp.sum(rs.xla_segment_sum_table(m, jnp.asarray(rank),
+                                                n_pad, 256) * w)
+
+    gk = jax.grad(loss_k)(msgs)
+    gx = jax.grad(loss_x)(msgs)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("act", ["relu", "tanh", "linear"])
+def test_film_aggregate_forward(act):
+    rng = np.random.RandomState(4)
+    e_tot, n_real, n_pad, d = 4096, 250, 256, 64
+    rank, node_to_rank, has_in, _ = make_stream(rng, e_tot, n_real, n_pad)
+    rpad = rs.rank_table_rows(n_pad, 256)
+    msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
+    gb = jnp.asarray(rng.randn(rpad, 2 * d).astype(np.float32))
+    out = rs.film_ranked_aggregate(msgs, gb, jnp.asarray(rank), n_pad, act, 256)
+    ref = rs.xla_film_aggregate(msgs, gb, jnp.asarray(rank), n_pad, act, 256)
+    real = np.asarray(has_in, dtype=bool)
+    got_nodes = np.asarray(out)[node_to_rank][real]
+    ref_nodes = np.asarray(ref)[node_to_rank][real]
+    np.testing.assert_allclose(got_nodes, ref_nodes, rtol=3e-2, atol=3e-1)
+
+
+def test_film_aggregate_grads():
+    rng = np.random.RandomState(5)
+    e_tot, n_real, n_pad, d = 2048, 120, 128, 32
+    rank, node_to_rank, has_in, _ = make_stream(rng, e_tot, n_real, n_pad)
+    rpad = rs.rank_table_rows(n_pad, 256)
+    msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
+    gb = jnp.asarray(rng.randn(rpad, 2 * d).astype(np.float32))
+    # weight only REAL node rows so dump/slack rows don't contribute:
+    sel = np.zeros(rpad, dtype=np.float32)
+    sel[node_to_rank[np.asarray(has_in, dtype=bool)]] = 1.0
+    w = jnp.asarray(rng.randn(rpad, d).astype(np.float32) * sel[:, None])
+
+    def loss_k(m, t):
+        return jnp.sum(
+            rs.film_ranked_aggregate(m, t, jnp.asarray(rank), n_pad,
+                                     "tanh", 256) * w)
+
+    def loss_x(m, t):
+        return jnp.sum(
+            rs.xla_film_aggregate(m, t, jnp.asarray(rank), n_pad,
+                                  "tanh", 256) * w)
+
+    gk_m, gk_t = jax.grad(loss_k, argnums=(0, 1))(msgs, gb)
+    gx_m, gx_t = jax.grad(loss_x, argnums=(0, 1))(msgs, gb)
+    np.testing.assert_allclose(np.asarray(gk_m), np.asarray(gx_m),
+                               rtol=5e-2, atol=3e-1)
+    # d_gb rows for real ranks only (slack rows see no real edges):
+    real_rows = sel > 0
+    np.testing.assert_allclose(np.asarray(gk_t)[real_rows],
+                               np.asarray(gx_t)[real_rows],
+                               rtol=5e-2, atol=3e-1)
+
+
+def test_supported_predicate():
+    assert rs.ranked_supported(4096, 320, 6144)
+    assert not rs.ranked_supported(4095, 320, 6144)      # not 2048-aligned
+    assert not rs.ranked_supported(1024, 320, 6144)      # under one step
+    assert not rs.ranked_supported(8192, 320, 300000)    # table too big
