@@ -71,9 +71,13 @@ def use_dense_strategy(graph: GraphBatch, aggregation: str, strategy: str) -> bo
         return False
     if strategy == "dense":
         return True
-    if strategy == "segment":
+    if strategy in ("segment", "pallas"):
         return False
-    return graph.n_pad <= 16384  # auto
+    # auto: bound the total dense-adjacency footprint, not just n_pad —
+    # the runtime materializes L matrices of n_pad^2 f32 (bf16 when cached),
+    # so many edge types shrink the viable node budget proportionally.
+    adj_bytes = graph.num_edge_types * graph.n_pad * graph.n_pad * 4
+    return graph.n_pad <= 16384 and adj_bytes <= 3 * 16384 * 16384 * 4
 
 
 def aggregate(messages: List[jnp.ndarray], graph: GraphBatch, aggregation: str):

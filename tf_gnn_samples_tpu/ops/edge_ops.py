@@ -208,7 +208,11 @@ def segment_softmax_flat(logits, flat, n_pad: int):
         masked, flat.receivers, n_pad + 1, indices_are_sorted=True
     )[:n_pad]
     gmax = jnp.maximum(gmax, neg)
-    ex = jnp.exp(logits - gather_node_tgt(gmax, flat)) * mask
+    # exp over the MASKED logits: a padded edge sees masked == neg and a
+    # clipped shift that may also be neg; neg - neg == 0 -> exp 1 -> * mask 0.
+    # Using the raw logits here would overflow exp to inf on padded edges
+    # whose clipped shift row is a padding node (inf * 0 == NaN).
+    ex = jnp.exp(masked - gather_node_tgt(gmax, flat)) * mask
     denom = aggregate_flat_sum(ex, flat, n_pad)
     small = 1e-7  # SMALL_NUMBER
     return ex / (gather_node_tgt(denom, flat) + small)

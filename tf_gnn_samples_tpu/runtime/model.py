@@ -447,6 +447,16 @@ class SparseGraphModel(ABC):
                     "num_model_replicas=%d but only %d devices visible"
                     % (replicas, len(jax.devices()))
                 )
+            if (self.params.get("cache_batches_on_device")
+                    or self.params.get("scan_epochs")) and not getattr(
+                        self, "_warned_dp_cache", False):
+                self._warned_dp_cache = True
+                self.log_line(
+                    "WARNING: cache_batches_on_device/scan_epochs are not "
+                    "yet supported with num_model_replicas > 1; the "
+                    "data-parallel epoch path re-packs and re-uploads "
+                    "batches every epoch."
+                )
             return self._run_epoch_dp(epoch_name, data, data_fold, replicas)
 
         cache_on_device = self.params.get("cache_batches_on_device", False)

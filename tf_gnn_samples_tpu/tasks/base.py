@@ -171,11 +171,19 @@ class SparseGraphTask(ABC):
         """Memoize the fold-constant batch spec: dataset statistics do not
         change across epochs, so scanning the whole dataset to rebuild an
         identical BatchSpec every epoch is wasted host time on the
-        critical path. Keyed by the data list's identity + budget."""
-        key = (id(data), max_nodes)
-        if key not in self._spec_cache:
-            self._spec_cache[key] = compute()
-        return self._spec_cache[key]
+        critical path.
+
+        Keyed by (id(data), len(data), max_nodes) with the keyed object
+        itself kept alive in the cache entry: holding the reference makes
+        the id() stable (a GC'd list's address could otherwise be reused
+        by a different fold and serve a stale spec)."""
+        key = (id(data), len(data) if hasattr(data, "__len__") else -1,
+               max_nodes)
+        entry = self._spec_cache.get(key)
+        if entry is None or entry[0] is not data:
+            entry = (data, compute())
+            self._spec_cache[key] = entry
+        return entry[1]
 
     # ---- metadata travels with the checkpoint (sparse_graph_task.py:46-59)
     def get_metadata(self) -> Dict[str, Any]:
