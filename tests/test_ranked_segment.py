@@ -40,9 +40,10 @@ def test_segment_sum_matches_xla(block_edges):
     e_tot, n_real, n_pad, d = 4096, 300, 320, 64
     rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
     msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
-    out = rs.ranked_segment_sum_table(msgs, jnp.asarray(rank), n_pad,
+    rows = rs.rank_table_rows(n_pad, block_edges)
+    out = rs.ranked_segment_sum_table(msgs, jnp.asarray(rank), rows,
                                       block_edges)
-    ref = rs.xla_segment_sum_table(msgs, jnp.asarray(rank), n_pad,
+    ref = rs.xla_segment_sum_table(msgs, jnp.asarray(rank), rows,
                                    block_edges)
     # bf16 rounding of message values inside the kernel:
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -54,9 +55,10 @@ def test_segment_sum_exact_on_bf16_inputs():
     e_tot, n_real, n_pad, d = 2048, 150, 256, 128
     rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
     msgs = jnp.asarray(rng.randn(e_tot, d)).astype(jnp.bfloat16)
-    out = rs.ranked_segment_sum_table(msgs, jnp.asarray(rank), n_pad, 256)
+    rows = rs.rank_table_rows(n_pad, 256)
+    out = rs.ranked_segment_sum_table(msgs, jnp.asarray(rank), rows, 256)
     ref = rs.xla_segment_sum_table(msgs.astype(jnp.float32),
-                                   jnp.asarray(rank), n_pad, 256)
+                                   jnp.asarray(rank), rows, 256)
     # identical accumulation order per rank (stream order), f32 accumulate:
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
@@ -68,8 +70,8 @@ def test_expand_matches_take():
     rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
     rpad = rs.rank_table_rows(n_pad, 256)
     table = jnp.asarray(rng.randn(rpad, d).astype(np.float32))
-    out = rs.ranked_expand_table(table, jnp.asarray(rank), n_pad, 256)
-    ref = rs.xla_expand_table(table, jnp.asarray(rank), n_pad, 256)
+    out = rs.ranked_expand_table(table, jnp.asarray(rank), rpad, 256)
+    ref = rs.xla_expand_table(table, jnp.asarray(rank), rpad, 256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
 
@@ -84,11 +86,11 @@ def test_segment_sum_vjp_is_expand():
 
     def loss_k(m):
         return jnp.sum(rs.ranked_segment_sum_table(m, jnp.asarray(rank),
-                                                   n_pad, 256) * w)
+                                                   rpad, 256) * w)
 
     def loss_x(m):
         return jnp.sum(rs.xla_segment_sum_table(m, jnp.asarray(rank),
-                                                n_pad, 256) * w)
+                                                rpad, 256) * w)
 
     gk = jax.grad(loss_k)(msgs)
     gx = jax.grad(loss_x)(msgs)
@@ -104,8 +106,8 @@ def test_film_aggregate_forward(act):
     rpad = rs.rank_table_rows(n_pad, 256)
     msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
     gb = jnp.asarray(rng.randn(rpad, 2 * d).astype(np.float32))
-    out = rs.film_ranked_aggregate(msgs, gb, jnp.asarray(rank), n_pad, act, 256)
-    ref = rs.xla_film_aggregate(msgs, gb, jnp.asarray(rank), n_pad, act, 256)
+    out = rs.film_ranked_aggregate(msgs, gb, jnp.asarray(rank), act, 256)
+    ref = rs.xla_film_aggregate(msgs, gb, jnp.asarray(rank), act, 256)
     real = np.asarray(has_in, dtype=bool)
     got_nodes = np.asarray(out)[node_to_rank][real]
     ref_nodes = np.asarray(ref)[node_to_rank][real]
@@ -126,12 +128,12 @@ def test_film_aggregate_grads():
 
     def loss_k(m, t):
         return jnp.sum(
-            rs.film_ranked_aggregate(m, t, jnp.asarray(rank), n_pad,
+            rs.film_ranked_aggregate(m, t, jnp.asarray(rank),
                                      "tanh", 256) * w)
 
     def loss_x(m, t):
         return jnp.sum(
-            rs.xla_film_aggregate(m, t, jnp.asarray(rank), n_pad,
+            rs.xla_film_aggregate(m, t, jnp.asarray(rank),
                                   "tanh", 256) * w)
 
     gk_m, gk_t = jax.grad(loss_k, argnums=(0, 1))(msgs, gb)
@@ -146,7 +148,71 @@ def test_film_aggregate_grads():
 
 
 def test_supported_predicate():
-    assert rs.ranked_supported(4096, 320, 6144)
-    assert not rs.ranked_supported(4095, 320, 6144)      # not 2048-aligned
-    assert not rs.ranked_supported(1024, 320, 6144)      # under one step
-    assert not rs.ranked_supported(8192, 320, 300000)    # table too big
+    rows = rs.rank_table_rows(6144, 256)
+    assert rs.ranked_supported(4096, 320, rows)
+    assert not rs.ranked_supported(4095, 320, rows)      # not 2048-aligned
+    assert not rs.ranked_supported(1024, 320, rows)      # under one step
+    assert not rs.ranked_supported(8192, 320,
+                                   rs.rank_table_rows(300000, 256))
+
+
+def _random_graph_batch(rng, n=300, n_pad=512, L=2, e_per_type=900):
+    from tf_gnn_samples_tpu.ops.graph import pad_graph_batch
+    adj = [
+        np.stack([rng.randint(0, n, size=e_per_type),
+                  rng.randint(0, n, size=e_per_type)], axis=1).astype(np.int32)
+        for _ in range(L)
+    ]
+    feats = rng.randn(n, 64).astype(np.float32)
+    gids = np.zeros(n, dtype=np.int32)
+    return pad_graph_batch(feats, adj, gids, 1, n_pad=n_pad,
+                           e_pads=[1024, 1024], g_pad=16)
+
+
+def test_film_layer_fused_matches_segment_path():
+    from tf_gnn_samples_tpu.nn.layers import gnn_film_apply, gnn_film_init
+
+    rng = np.random.RandomState(7)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = gnn_film_init(jax.random.PRNGKey(0), 2, d)
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+
+    out_seg = gnn_film_apply(params, graph, h, activation_function="relu",
+                             aggregation_strategy="segment")
+    out_fused = gnn_film_apply(params, graph, h, activation_function="relu",
+                               aggregation_strategy="pallas")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_fused)[real],
+                               np.asarray(out_seg)[real],
+                               rtol=5e-2, atol=5e-2)
+
+    def loss(fn_strategy):
+        def f(p, hh):
+            out = gnn_film_apply(p, graph, hh, activation_function="relu",
+                                 aggregation_strategy=fn_strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_seg = jax.grad(loss("segment"), argnums=(0, 1))(params, h)
+    g_fus = jax.grad(loss("pallas"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_seg),
+                    jax.tree_util.tree_leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)
+
+
+def test_rgcn_layer_ranked_matches_segment_path():
+    from tf_gnn_samples_tpu.nn.layers import rgcn_apply, rgcn_init
+
+    rng = np.random.RandomState(8)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = rgcn_init(jax.random.PRNGKey(1), 2, d)
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+    out_seg = rgcn_apply(params, graph, h, aggregation_strategy="segment")
+    out_rank = rgcn_apply(params, graph, h, aggregation_strategy="pallas")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_rank)[real],
+                               np.asarray(out_seg)[real],
+                               rtol=5e-2, atol=5e-2)

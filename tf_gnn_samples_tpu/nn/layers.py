@@ -27,6 +27,8 @@ Each layer is a pair of pure functions:
 
 from typing import List
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -34,12 +36,16 @@ import jax.numpy as jnp
 from ..ops.edge_ops import (
     aggregate_blocks,
     aggregate_flat,
+    aggregate_flat_ranked,
     aggregate_flat_sum,
     dense_aggregate_linear,
     gather_flat_src,
     gather_flat_tgt,
+    fine_rank_to_flat,
+    fine_table_to_nodes,
     gather_src,
     gather_tgt,
+    ranked_aggregation_ok,
     segment_softmax_flat,
 )
 from ..ops.graph import GraphBatch
@@ -78,6 +84,19 @@ def use_dense_strategy(graph: GraphBatch, aggregation: str, strategy: str) -> bo
     # so many edge types shrink the viable node budget proportionally.
     adj_bytes = graph.num_edge_types * graph.n_pad * graph.n_pad * 4
     return graph.n_pad <= 16384 and adj_bytes <= 3 * 16384 * 16384 * 4
+
+
+def aggregate_flat_auto(messages, graph: GraphBatch, aggregation: str,
+                        strategy: str):
+    """Flat-stream aggregation with strategy dispatch: the streaming
+    rank-table Pallas kernel (ops/ranked_segment.py) when the shape
+    qualifies and the strategy allows it, else XLA sorted segment ops."""
+    d = int(np.prod(messages.shape[1:]))
+    if strategy in ("auto", "pallas") and ranked_aggregation_ok(
+        graph, aggregation, messages.ndim - 1, d
+    ):
+        return aggregate_flat_ranked(messages, graph, aggregation)
+    return aggregate_flat(messages, graph.flat, graph.n_pad, aggregation)
 
 
 def aggregate(messages: List[jnp.ndarray], graph: GraphBatch, aggregation: str):
@@ -180,8 +199,8 @@ def ggnn_apply(
             agg = dense_aggregate_linear(t, graph, normalize=False)
         else:
             msgs = _flat_linear_messages(h, params["W"], graph)
-            agg = aggregate_flat(
-                msgs, graph.flat, graph.n_pad, message_aggregation_function
+            agg = aggregate_flat_auto(
+                msgs, graph, message_aggregation_function, aggregation_strategy
             )
         h, c = cell_apply(
             params["cell"], gated_unit_type, agg, h, activation_function, c
@@ -230,8 +249,8 @@ def rgcn_apply(
         )
         if normalize_by_num_incoming:
             msgs = msgs * graph.flat.norm_scale[:, None]
-        h = act(aggregate_flat(
-            msgs, graph.flat, graph.n_pad, message_aggregation_function
+        h = act(aggregate_flat_auto(
+            msgs, graph, message_aggregation_function, aggregation_strategy
         ))
     return h
 
@@ -262,6 +281,7 @@ def rgat_apply(
     num_timesteps=1,
     num_heads=4,
     activation_function="tanh",
+    aggregation_strategy="auto",
     **_,
 ):
     state_dim = h.shape[-1]
@@ -293,7 +313,10 @@ def rgat_apply(
         # Softmax per (target node, head) over all incoming edges of all
         # types (rgat.py:126-130):
         attn = segment_softmax_flat(logits, graph.flat, n_pad)
-        agg = aggregate_flat_sum(msgs * attn[..., None], graph.flat, n_pad)
+        agg = aggregate_flat_auto(
+            (msgs * attn[..., None]).reshape(-1, state_dim), graph, "sum",
+            aggregation_strategy,
+        )
         h = act(agg.reshape(n_pad, state_dim))
     return h
 
@@ -322,23 +345,47 @@ def gnn_film_apply(
     activation_function="relu",
     message_aggregation_function="sum",
     normalize_by_num_incoming=False,
+    aggregation_strategy="auto",
     **_,
 ):
     act = get_activation(activation_function)
     d = h.shape[-1]
+    from ..ops import ranked_segment as rs
+
+    # Fused streaming path: gamma/beta live in a FINE (receiver, type)
+    # rank-indexed table (one [R]-row gather instead of a per-edge [E, 2D]
+    # gather) and the modulate-activate-aggregate runs as one Pallas pass
+    # with a custom streaming VJP (ops/ranked_segment.py
+    # film_ranked_aggregate); the fine table is then combined per receiver
+    # with a cheap R-row sorted segment-sum.
+    fused = (
+        aggregation_strategy in ("auto", "pallas")
+        and message_aggregation_function in ("sum", "unsorted_segment_sum")
+        and rs.film_act_supported(activation_function)
+        and ranked_aggregation_ok(graph, "sum", 1, d, extra_table_cols=5 * d,
+                                  fine=True)
+    )
     for _step in range(num_timesteps):
         t = typed_transform(h, params["W"])  # [L, N, D]
         film = typed_transform(h, params["W_film"])  # [L, N, 2D]
-        # Flat stream: one src gather + one tgt gather for ALL edge types.
         m = gather_flat_src(_flat(t), graph.flat)
         if normalize_by_num_incoming:
             m = m * graph.flat.norm_scale[:, None]
-        gb = gather_flat_tgt(_flat(film), graph.flat)  # FiLM from *target*
-        gamma, beta = gb[:, :d], gb[:, d:]
-        msgs = act(gamma * m + beta)  # activation on messages (film.py:112)
-        agg = aggregate_flat(
-            msgs, graph.flat, graph.n_pad, message_aggregation_function
-        )
+        if fused:
+            rank_nodes = fine_rank_to_flat(graph)
+            gb_ranked = jnp.take(_flat(film), rank_nodes, axis=0, mode="clip")
+            table = rs.film_ranked_aggregate(
+                m, gb_ranked, graph.flat.tgt_rank,
+                activation_function.lower(),
+            )
+            agg = fine_table_to_nodes(table, graph)
+        else:
+            gb = gather_flat_tgt(_flat(film), graph.flat)  # FiLM from *target*
+            gamma, beta = gb[:, :d], gb[:, d:]
+            msgs = act(gamma * m + beta)  # activation on messages (film.py:112)
+            agg = aggregate_flat(
+                msgs, graph.flat, graph.n_pad, message_aggregation_function
+            )
         h = layer_norm(params["ln"], agg)  # unconditional LN (film.py:120)
     return h
 

@@ -197,6 +197,96 @@ def aggregate_flat(messages, flat, n_pad: int, aggregation: str):
     raise ValueError("Unknown aggregation function '%s'!" % aggregation)
 
 
+def fine_rank_to_flat(graph):
+    """Fine-rank-indexed type-stacked node index: rank_nodes[r] = tgt_flat
+    of the edges in (receiver, type) group r. Derived in-jit; slack rows
+    read row 0 downstream (harmless: their table rows are never combined
+    into real nodes)."""
+    from .ranked_segment import fine_rank_table_rows
+
+    flat = graph.flat
+    n_pad, L = graph.n_pad, graph.num_edge_types
+    rpad = fine_rank_table_rows(n_pad, L, flat.tgt_rank.shape[0], 256)
+    return jnp.zeros((rpad,), jnp.int32).at[flat.tgt_rank].set(
+        jnp.minimum(flat.tgt_flat, L * n_pad - 1), mode="drop"
+    )
+
+
+def fine_rank_to_receiver(graph):
+    """Receiver node id per fine rank (nondecreasing; slack rows -> dump
+    row n_pad so sorted segment ops stay valid)."""
+    from .ranked_segment import fine_rank_table_rows
+
+    flat = graph.flat
+    rpad = fine_rank_table_rows(
+        graph.n_pad, graph.num_edge_types, flat.tgt_rank.shape[0], 256
+    )
+    return jnp.full((rpad,), graph.n_pad, jnp.int32).at[flat.tgt_rank].set(
+        flat.receivers, mode="drop"
+    )
+
+
+def fine_table_to_nodes(table, graph):
+    """Combine a FINE (receiver, type) rank table into node rows: sum the
+    <= L rows of each receiver. R-row sorted segment-sum — cheap."""
+    rank_rcv = fine_rank_to_receiver(graph)
+    return jax.ops.segment_sum(
+        table, rank_rcv, graph.n_pad + 1, indices_are_sorted=True
+    )[: graph.n_pad]
+
+
+def ranked_table_to_nodes(table, graph):
+    """Map a COARSE rank table [RPAD, D] back to node rows [n_pad, D]."""
+    out = jnp.take(table, graph.node_to_rank, axis=0, mode="clip")
+    return out * graph.node_has_incoming[:, None]
+
+
+def aggregate_flat_ranked(messages, graph, aggregation: str,
+                          block_edges: int = 256):
+    """Named aggregation via the streaming rank-table kernel
+    (ops/ranked_segment.py) — sum-family only; caller must have checked
+    ranked_supported."""
+    from .ranked_segment import rank_table_rows, ranked_segment_sum_table
+
+    n_pad = graph.n_pad
+    msgs2d = messages.reshape(messages.shape[0], -1)
+    table = ranked_segment_sum_table(
+        msgs2d, graph.flat.rcv_rank, rank_table_rows(n_pad, block_edges),
+        block_edges,
+    )
+    out = ranked_table_to_nodes(table, graph).reshape(
+        (n_pad,) + messages.shape[1:]
+    )
+    if aggregation in ("sum", "unsorted_segment_sum"):
+        return out
+    count = jnp.maximum(graph.typed_incoming_counts.sum(axis=0), 1.0)
+    if aggregation.endswith("sqrt_n"):
+        count = jnp.sqrt(count)
+    return out / count.reshape((n_pad,) + (1,) * (messages.ndim - 1))
+
+
+def ranked_aggregation_ok(graph, aggregation: str, ndim_extra: int,
+                          d: int, extra_table_cols: int = 0,
+                          fine: bool = False) -> bool:
+    """Trace-time eligibility of the ranked kernel path."""
+    from . import ranked_segment as rs
+
+    if aggregation in ("max", "unsorted_segment_max"):
+        return False
+    # On CPU only when tests force interpreter mode (kernels are TPU code):
+    if not (rs.on_tpu() or rs._FORCE_INTERPRET):
+        return False
+    e_tot = graph.flat.rcv_rank.shape[0]
+    if fine:
+        rows = rs.fine_rank_table_rows(
+            graph.n_pad, graph.num_edge_types, e_tot, 256
+        )
+    else:
+        rows = rs.rank_table_rows(graph.n_pad, 256)
+    return rs.ranked_supported(e_tot, d, rows,
+                               extra_table_cols=extra_table_cols)
+
+
 def segment_softmax_flat(logits, flat, n_pad: int):
     """Softmax per receiver over all incoming edges of all types
     (reference RGAT semantics, gnns/rgat.py:126-130) on the flat stream:

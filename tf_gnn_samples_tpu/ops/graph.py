@@ -73,12 +73,17 @@ class FlatEdges(NamedTuple):
     norm_scale: jnp.ndarray  # [E_tot] float32
     perm_by_src: jnp.ndarray  # [E_tot] int32
     perm_by_tgt: jnp.ndarray  # [E_tot] int32
-    # Rank compression for the Pallas streaming segment-sum kernel
-    # (ops/pallas_segment.py): rcv_rank[e] = rank of receivers[e] among the
+    # Rank compression for the streaming rank-table kernels
+    # (ops/ranked_segment.py): rcv_rank[e] = rank of receivers[e] among the
     # distinct receivers of the stream (gap-free, nondecreasing; padded
     # edges share the final dump rank). node_to_rank / node_has_incoming
-    # live on GraphBatch.
+    # live on GraphBatch. tgt_rank is the FINE variant: rank among distinct
+    # (receiver, type) stream groups — gap-free and nondecreasing because
+    # the stable receiver sort keeps equal (receiver, type) pairs adjacent.
+    # Used where per-edge constants depend on (target, type), e.g. the
+    # fused GNN-FiLM gamma/beta tables.
     rcv_rank: jnp.ndarray  # [E_tot] int32
+    tgt_rank: jnp.ndarray  # [E_tot] int32
 
 
 class GraphBatch(NamedTuple):
@@ -229,6 +234,14 @@ def pad_graph_batch(
         is_new[0] = True
         is_new[1:] = rcv_sorted[1:] != rcv_sorted[:-1]
     rcv_rank = (np.cumsum(is_new) - 1).astype(np.int32)
+    # Fine (receiver, type) group ranks: the stable sort keeps equal
+    # tgt_flat values contiguous, so group boundaries are value changes.
+    tgt_sorted = tgt_flat[order]
+    is_new_f = np.empty(tgt_sorted.shape[0], dtype=bool)
+    if tgt_sorted.shape[0]:
+        is_new_f[0] = True
+        is_new_f[1:] = tgt_sorted[1:] != tgt_sorted[:-1]
+    tgt_rank = (np.cumsum(is_new_f) - 1).astype(np.int32)
     node_to_rank = np.zeros((n_pad,), dtype=np.int32)
     node_has_incoming = np.zeros((n_pad,), dtype=np.float32)
     real = (rcv_sorted < n_pad) & is_new
@@ -246,6 +259,7 @@ def pad_graph_batch(
         perm_by_src=np.argsort(src_flat[order], kind="stable").astype(np.int32),
         perm_by_tgt=np.argsort(tgt_flat[order], kind="stable").astype(np.int32),
         rcv_rank=rcv_rank,
+        tgt_rank=tgt_rank,
     )
 
     return GraphBatch(

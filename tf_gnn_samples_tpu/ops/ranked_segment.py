@@ -67,17 +67,26 @@ def _ceil_mult(x: int, m: int) -> int:
 
 
 def rank_table_rows(n_pad: int, block_edges: int) -> int:
-    """Static rank-table height: ranks are gap-free over distinct receivers
-    (<= n_pad real + 1 dump), plus RL slack for the aligned local windows."""
+    """Static COARSE rank-table height: receiver ranks are gap-free over
+    distinct receivers (<= n_pad real + 1 dump), plus RL slack for the
+    aligned local windows."""
     return _ceil_mult(n_pad + 1, 8) + block_edges + 8
 
 
-def ranked_supported(num_edges: int, dim: int, n_pad: int,
+def fine_rank_table_rows(n_pad: int, num_edge_types: int, num_edges: int,
+                         block_edges: int) -> int:
+    """Static FINE rank-table height: (receiver, type) group ranks are
+    gap-free over distinct groups (<= min(L * (n_pad + 1), E))."""
+    groups = min(num_edge_types * (n_pad + 1), num_edges)
+    return _ceil_mult(groups, 8) + block_edges + 8
+
+
+def ranked_supported(num_edges: int, dim: int, table_rows: int,
                      block_edges: int = 256, extra_table_cols: int = 0) -> bool:
-    """Whether the streaming kernels apply to this (E, D, N) shape."""
+    """Whether the streaming kernels apply to this (E, D, table) shape."""
     if num_edges % STEP != 0 or num_edges < STEP:
         return False
-    rpad = rank_table_rows(n_pad, block_edges)
+    rpad = table_rows
     lane_d = _ceil_mult(dim, 128)
     lane_x = _ceil_mult(max(extra_table_cols, 1), 128)
     vmem = rpad * lane_d * 4 + rpad * lane_x * 4 + 4 * STEP * lane_d * 4
@@ -211,13 +220,13 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "block_edges"))
-def _segsum_table_impl(msgs, rcv_rank, *, n_pad, block_edges):
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges"))
+def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
     rl = be + 8
-    rpad = rank_table_rows(n_pad, be)
+    rpad = table_rows
     blocks, starts = _chunk_inputs(rcv_rank, be)
     kern = functools.partial(_segsum_kernel, be=be, rl=rl, sub=sub)
     return pl.pallas_call(
@@ -261,26 +270,28 @@ def _expand_impl(table, rcv_rank, *, block_edges):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def ranked_segment_sum_table(msgs, rcv_rank, n_pad: int, block_edges: int = 256):
-    """Sum messages per receiver rank: [E, D] -> [RPAD, D] (f32).
+def ranked_segment_sum_table(msgs, ranks, table_rows: int,
+                             block_edges: int = 256):
+    """Sum messages per rank: [E, D] -> [table_rows, D] (f32).
 
-    Rank r of the table holds the sum over edges with rcv_rank == r; map
-    back to nodes with `table[node_to_rank] * node_has_incoming[:, None]`.
-    VJP: d_msgs[e] = d_table[rank[e]] — the streaming expand kernel.
+    `ranks` must be nondecreasing gap-free group ids over the stream
+    (coarse receiver ranks or fine (receiver, type) ranks). Rank r of the
+    table holds the sum over edges with rank == r. VJP: d_msgs[e] =
+    d_table[rank[e]] — the streaming expand kernel.
     """
-    return _segsum_table_impl(msgs, rcv_rank, n_pad=n_pad,
+    return _segsum_table_impl(msgs, ranks, table_rows=table_rows,
                               block_edges=block_edges)
 
 
-def _segsum_fwd(msgs, rcv_rank, n_pad, block_edges):
-    out = _segsum_table_impl(msgs, rcv_rank, n_pad=n_pad,
+def _segsum_fwd(msgs, ranks, table_rows, block_edges):
+    out = _segsum_table_impl(msgs, ranks, table_rows=table_rows,
                              block_edges=block_edges)
-    return out, (rcv_rank, jnp.zeros((0,), msgs.dtype))
+    return out, (ranks, jnp.zeros((0,), msgs.dtype))
 
 
-def _segsum_bwd(n_pad, block_edges, res, g):
-    rcv_rank, proto = res
-    d_msgs = _expand_impl(g, rcv_rank, block_edges=block_edges)
+def _segsum_bwd(table_rows, block_edges, res, g):
+    ranks, proto = res
+    d_msgs = _expand_impl(g, ranks, block_edges=block_edges)
     return (d_msgs.astype(proto.dtype), None)
 
 
@@ -288,24 +299,24 @@ ranked_segment_sum_table.defvjp(_segsum_fwd, _segsum_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def ranked_expand_table(table, rcv_rank, n_pad: int, block_edges: int = 256):
+def ranked_expand_table(table, ranks, table_rows: int,
+                        block_edges: int = 256):
     """Per-edge value of a rank-indexed table: out[e] = table[rank[e]].
 
     The streaming inverse of ranked_segment_sum_table (and its VJP)."""
-    return _expand_impl(table, rcv_rank, block_edges=block_edges)
+    return _expand_impl(table, ranks, block_edges=block_edges)
 
 
-def _expand_fwd(table, rcv_rank, n_pad, block_edges):
-    out = _expand_impl(table, rcv_rank, block_edges=block_edges)
-    return out, (rcv_rank, jnp.zeros((0,), table.dtype))
+def _expand_fwd(table, ranks, table_rows, block_edges):
+    out = _expand_impl(table, ranks, block_edges=block_edges)
+    return out, (ranks, jnp.zeros((0,), table.dtype))
 
 
-def _expand_bwd(n_pad, block_edges, res, g):
-    rcv_rank, proto = res
-    d_table = _segsum_table_impl(g, rcv_rank, n_pad=n_pad,
+def _expand_bwd(table_rows, block_edges, res, g):
+    ranks, proto = res
+    d_table = _segsum_table_impl(g, ranks, table_rows=table_rows,
                                  block_edges=block_edges)
-    return (d_table[: rank_table_rows(n_pad, block_edges)].astype(proto.dtype),
-            None)
+    return (d_table.astype(proto.dtype), None)
 
 
 ranked_expand_table.defvjp(_expand_fwd, _expand_bwd)
@@ -329,15 +340,15 @@ def film_act_supported(name: str) -> bool:
     return name.lower() in _ACTS
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "block_edges", "act"))
-def _film_fwd_impl(msgs, gb_table, rcv_rank, *, n_pad, block_edges, act):
+@functools.partial(jax.jit, static_argnames=("block_edges", "act"))
+def _film_fwd_impl(msgs, gb_table, ranks, *, block_edges, act):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
     rl = be + 8
-    rpad = rank_table_rows(n_pad, be)
+    rpad = gb_table.shape[0]
     assert gb_table.shape == (rpad, 2 * dim), (gb_table.shape, rpad, dim)
-    blocks, starts = _chunk_inputs(rcv_rank, be)
+    blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_fwd_kernel, be=be, rl=rl, sub=sub, d=dim,
                              act=_ACTS[act][0])
     return pl.pallas_call(
@@ -355,14 +366,14 @@ def _film_fwd_impl(msgs, gb_table, rcv_rank, *, n_pad, block_edges, act):
     )(starts, blocks, msgs, gb_table)
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "block_edges", "act"))
-def _film_bwd_impl(msgs, gbg_table, rcv_rank, *, n_pad, block_edges, act):
+@functools.partial(jax.jit, static_argnames=("block_edges", "act"))
+def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
     rl = be + 8
-    rpad = rank_table_rows(n_pad, be)
-    blocks, starts = _chunk_inputs(rcv_rank, be)
+    rpad = gbg_table.shape[0]
+    blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_bwd_kernel, be=be, rl=rl, sub=sub, d=dim,
                              dact=_ACTS[act][1])
     return pl.pallas_call(
@@ -387,30 +398,32 @@ def _film_bwd_impl(msgs, gbg_table, rcv_rank, *, n_pad, block_edges, act):
     )(starts, blocks, msgs, gbg_table)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def film_ranked_aggregate(msgs, gb_table, rcv_rank, n_pad: int,
-                          act: str = "relu", block_edges: int = 256):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def film_ranked_aggregate(msgs, gb_table, ranks, act: str = "relu",
+                          block_edges: int = 256):
     """Fused GNN-FiLM message pass: table[r] = sum_{e: rank(e)==r}
     act(gamma[r] * msgs[e] + beta[r]) with gb_table = [gamma | beta]
-    rank-indexed [RPAD, 2D]. Returns the f32 rank table [RPAD, D].
+    rank-indexed [RPAD, 2D]. `ranks` must be FINE (receiver, type) group
+    ranks — gamma/beta are constant within a group. Returns the f32 rank
+    table [RPAD, D]; combine per receiver afterwards (cheap R-row op).
 
     Backward recomputes the modulation in a mirrored streaming kernel and
     returns (d_msgs [E, D], d_gb_table [RPAD, 2D]) — no per-edge gathers.
     """
-    return _film_fwd_impl(msgs, gb_table, rcv_rank, n_pad=n_pad,
+    return _film_fwd_impl(msgs, gb_table, ranks,
                           block_edges=block_edges, act=act)
 
 
-def _film_vjp_fwd(msgs, gb_table, rcv_rank, n_pad, act, block_edges):
-    out = _film_fwd_impl(msgs, gb_table, rcv_rank, n_pad=n_pad,
+def _film_vjp_fwd(msgs, gb_table, ranks, act, block_edges):
+    out = _film_fwd_impl(msgs, gb_table, ranks,
                          block_edges=block_edges, act=act)
-    return out, (msgs, gb_table, rcv_rank)
+    return out, (msgs, gb_table, ranks)
 
 
-def _film_vjp_bwd(n_pad, act, block_edges, res, g):
-    msgs, gb_table, rcv_rank = res
+def _film_vjp_bwd(act, block_edges, res, g):
+    msgs, gb_table, ranks = res
     gbg = jnp.concatenate([gb_table.astype(jnp.float32), g], axis=1)
-    d_msgs, d_gb = _film_bwd_impl(msgs, gbg, rcv_rank, n_pad=n_pad,
+    d_msgs, d_gb = _film_bwd_impl(msgs, gbg, ranks,
                                   block_edges=block_edges, act=act)
     return (d_msgs.astype(msgs.dtype), d_gb.astype(gb_table.dtype), None)
 
@@ -423,20 +436,20 @@ film_ranked_aggregate.defvjp(_film_vjp_fwd, _film_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def xla_segment_sum_table(msgs, rcv_rank, n_pad: int, block_edges: int = 256):
-    rpad = rank_table_rows(n_pad, block_edges)
-    return jax.ops.segment_sum(msgs.astype(jnp.float32), rcv_rank, rpad,
+def xla_segment_sum_table(msgs, ranks, table_rows: int,
+                          block_edges: int = 256):
+    return jax.ops.segment_sum(msgs.astype(jnp.float32), ranks, table_rows,
                                indices_are_sorted=True)
 
 
-def xla_expand_table(table, rcv_rank, n_pad: int, block_edges: int = 256):
-    return jnp.take(table, rcv_rank, axis=0, mode="clip").astype(jnp.float32)
+def xla_expand_table(table, ranks, table_rows: int, block_edges: int = 256):
+    return jnp.take(table, ranks, axis=0, mode="clip").astype(jnp.float32)
 
 
-def xla_film_aggregate(msgs, gb_table, rcv_rank, n_pad: int,
-                       act: str = "relu", block_edges: int = 256):
+def xla_film_aggregate(msgs, gb_table, ranks, act: str = "relu",
+                       block_edges: int = 256):
     d = msgs.shape[1]
-    gb_e = jnp.take(gb_table, rcv_rank, axis=0, mode="clip").astype(jnp.float32)
+    gb_e = jnp.take(gb_table, ranks, axis=0, mode="clip").astype(jnp.float32)
     z = gb_e[:, :d] * msgs.astype(jnp.float32) + gb_e[:, d:]
     a = _ACTS[act][0](z)
-    return xla_segment_sum_table(a, rcv_rank, n_pad, block_edges)
+    return xla_segment_sum_table(a, ranks, gb_table.shape[0], block_edges)
