@@ -3,9 +3,11 @@
 unseen-project "TestOnly" generalization split.
 
 Capability-parity with the reference's run_varmisuse_benchs.py (·:1-96):
-per (model, seed) forks `train.py --quiet --run-test MODEL VarMisuse`,
-scrapes valid/test accuracy and the saved model path from the log, then
-re-runs `test.py` on `graphs-testonly` and scrapes that accuracy.
+per (model, seed), one `train.py --quiet --run-test MODEL VarMisuse`
+subprocess produces the valid/test accuracies plus the saved pickle path;
+a follow-up `test.py` subprocess re-evaluates that pickle on the held-out
+projects fold (`graphs-testonly`, reorg_varmisuse_data.sh:10) for the
+TestOnly column.
 
 Usage:
     python run_varmisuse_benchs.py [options] LOG_TARGET_DIR
@@ -14,73 +16,67 @@ Usage:
 import argparse
 import os
 import re
-import subprocess
 import sys
 
-import numpy as np
+from tf_gnn_samples_tpu.utils.bench_runner import (
+    Trial, execute, mean_std, model_subset, train_argv,
+)
 
-MODEL_TYPES = ["GGNN", "RGCN", "RGAT", "RGIN",
-               "GNN-Edge-MLP0", "GNN-Edge-MLP1", "GNN_FiLM"]
+SCRAPE_TRAIN = {
+    "test_acc": re.compile(r"^Metrics: Accuracy: (0.\d+)"),
+    "valid_acc": re.compile(r"Best validation results: Accuracy: (0.\d+)"),
+    "pickle": re.compile(r"^Loading model from file (.+)\."),
+}
+SCRAPE_EVAL = {"testonly_acc": re.compile(r"^Metrics: Accuracy: (0.\d+)")}
 
-TEST_RES_RE = re.compile(r"^Metrics: Accuracy: (0.\d+)")
-VALID_RES_RE = re.compile(r"Best validation results: Accuracy: (0.\d+)")
-MODEL_FILE_RE = re.compile(r"^Loading model from file (.+)\.")
 
+def main(args):
+    models = model_subset(args.models)
+    columns = {m: {"valid": [], "test": [], "testonly": []} for m in models}
+    for model in models:
+        for seed in range(1, 1 + int(args.num_runs)):
+            stem = os.path.join(
+                args.LOG_TARGET_DIR, "%s_seed%i" % (model.lower(), seed)
+            )
+            train_trial = Trial(
+                argv=train_argv(model, "VarMisuse", seed=seed,
+                                data_path=args.data_path),
+                logfile=stem + ".txt",
+                scrape=SCRAPE_TRAIN,
+                tag=(model, seed),
+            )
+            (outcome,) = execute(
+                [train_trial],
+                "Running %s / seed %i." % (model, seed),
+            )
+            columns[model]["valid"] += outcome.floats("valid_acc")
+            columns[model]["test"] += outcome.floats("test_acc")
 
-def run(args):
-    target_dir = args.LOG_TARGET_DIR
-    os.makedirs(target_dir, exist_ok=True)
-    print("Starting VarMisuse experiments, will write logfiles for runs into %s."
-          % target_dir)
-    num_seeds = int(args.num_runs)
-    testonly_path = args.testonly_path
+            saved = outcome.last("pickle")
+            if saved is None:
+                raise RuntimeError(
+                    "Run log %s has no saved-model line." % train_trial.logfile
+                )
+            eval_trial = Trial(
+                argv=[sys.executable, "test.py", "--quiet", saved,
+                      args.testonly_path],
+                logfile=stem + "-testonly.txt",
+                scrape=SCRAPE_EVAL,
+                tag=(model, seed, "testonly"),
+            )
+            columns[model]["testonly"] += eval_trial.run().floats(
+                "testonly_acc"
+            )
+
     print("| %- 14s | %- 17s | %- 17s | %- 17s |"
           % ("Model", "Valid Acc", "Test Acc", "TestOnly Acc"))
     print("|" + "-" * 16 + "|" + "-" * 19 + "|" + "-" * 19 + "|" + "-" * 19 + "|")
-    for model in MODEL_TYPES:
-        valid_accs, test_accs, testonly_accs = [], [], []
-        for seed in range(1, 1 + num_seeds):
-            logfile = os.path.join(target_dir, "%s_seed%i.txt" % (model.lower(), seed))
-            test_logfile = os.path.join(
-                target_dir, "%s_seed%i-testonly.txt" % (model.lower(), seed)
-            )
-            cmd = [sys.executable, "train.py", "--quiet", "--run-test",
-                   model, "VarMisuse",
-                   "--model-param-overrides", '{"random_seed": %i}' % seed]
-            if args.data_path:
-                cmd += ["--data-path", args.data_path]
-            with open(logfile, "w") as log_fh:
-                subprocess.check_call(cmd, stdout=log_fh, stderr=log_fh)
-            model_file = None
-            with open(logfile, "r") as log_fh:
-                for line in log_fh.readlines():
-                    valid_res_match = VALID_RES_RE.search(line)
-                    test_res_match = TEST_RES_RE.search(line)
-                    model_file_match = MODEL_FILE_RE.search(line)
-                    if valid_res_match is not None:
-                        valid_accs.append(float(valid_res_match.groups()[0]))
-                    elif test_res_match is not None:
-                        test_accs.append(float(test_res_match.groups()[0]))
-                    elif model_file_match is not None:
-                        model_file = model_file_match.groups()[0]
-
-            assert model_file is not None, "Could not find saved model file"
-            with open(test_logfile, "w") as log_fh:
-                subprocess.check_call(
-                    [sys.executable, "test.py", "--quiet", model_file,
-                     testonly_path],
-                    stdout=log_fh, stderr=log_fh,
-                )
-            with open(test_logfile, "r") as log_fh:
-                for line in log_fh.readlines():
-                    test_res_match = TEST_RES_RE.search(line)
-                    if test_res_match is not None:
-                        testonly_accs.append(float(test_res_match.groups()[0]))
-
-        print("| %- 14s | %.3f (+/- %.3f) | %.3f (+/- %.3f) | %.3f (+/- %.3f) |"
-              % (model, np.mean(valid_accs), np.std(valid_accs),
-                 np.mean(test_accs), np.std(test_accs),
-                 np.mean(testonly_accs), np.std(testonly_accs)))
+    for model in models:
+        cells = []
+        for fold in ("valid", "test", "testonly"):
+            m, s = mean_std(columns[model][fold])
+            cells.append("%.3f (+/- %.3f)" % (m, s))
+        print("| %- 14s | %s | %s | %s |" % (model, *cells))
 
 
 if __name__ == "__main__":
@@ -88,5 +84,9 @@ if __name__ == "__main__":
     parser.add_argument("LOG_TARGET_DIR")
     parser.add_argument("--num-runs", default=5)
     parser.add_argument("--data-path", default=None)
-    parser.add_argument("--testonly-path", default="data/varmisuse/graphs-testonly")
-    run(parser.parse_args())
+    parser.add_argument("--testonly-path",
+                        default="data/varmisuse/graphs-testonly")
+    parser.add_argument("--models", default=None,
+                        help="Comma-separated subset of models to run "
+                             "(extension; default = the reference's full list).")
+    main(parser.parse_args())
