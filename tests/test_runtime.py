@@ -387,3 +387,73 @@ def test_full_state_checkpoint_resume(tiny, tmp_path):
                     jax.tree_util.tree_leaves(m3.model_params_tree)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_scan_epochs_end_to_end_train(tmp_path):
+    """scan_epochs=True through the full model.train loop: one-dispatch
+    epochs over device-resident stacked batches must train, early-stop and
+    checkpoint exactly like the streamed path."""
+    import __graft_entry__ as ge
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=16, n_layers=1, seed=11
+    )
+    model.params.update({
+        "cache_batches_on_device": True,
+        "scan_epochs": True,
+        "max_epochs": 3,
+        "patience": 5,
+        "max_nodes_in_batch": 120,  # force several batches per epoch
+    })
+    task._loaded_data = {DataFold.TRAIN: samples, DataFold.VALIDATION: samples}
+    model.result_dir = str(tmp_path)
+    model.train(quiet=True)
+    log = open(model.log_file).read()
+    assert log.count("== Epoch") == 3, log
+    assert "Train: loss:" in log and "Valid: loss:" in log
+    import os as os_mod
+
+    assert os_mod.path.exists(model.best_model_file)
+    # Loss decreased over the scanned epochs:
+    import re as re_mod
+
+    losses = [float(m) for m in re_mod.findall(r"Train: loss: ([0-9.]+)", log)]
+    assert losses[-1] < losses[0], losses
+
+
+def test_repack_cached_every_invalidates_cache(tmp_path):
+    """repack_cached_every=K drops the device-resident TRAIN cache every K
+    epochs so graphs are re-packed (the reference re-packs every epoch,
+    ppi_task.py:204)."""
+    import __graft_entry__ as ge
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=16, n_layers=1, seed=12
+    )
+    model.params.update({
+        "cache_batches_on_device": True,
+        "repack_cached_every": 2,
+        "max_epochs": 5,
+        "patience": 50,
+        "max_nodes_in_batch": 120,
+    })
+    task._loaded_data = {DataFold.TRAIN: samples, DataFold.VALIDATION: samples}
+    model.result_dir = str(tmp_path)
+
+    packs = []
+    orig = type(model)._run_epoch
+
+    real_iter = task.make_minibatch_iterator
+
+    def counting_iter(data, fold, max_nodes):
+        if fold == DataFold.TRAIN:
+            packs.append(1)
+        return real_iter(data, fold, max_nodes)
+
+    task.make_minibatch_iterator = counting_iter
+    try:
+        model.train(quiet=True)
+    finally:
+        task.make_minibatch_iterator = real_iter
+    # epochs 1 (initial pack), 3, 5 re-pack under K=2:
+    assert sum(packs) == 3, packs

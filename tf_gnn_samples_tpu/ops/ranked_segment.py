@@ -113,6 +113,14 @@ def _local_onehot(ranks_row, start, rl: int, be: int):
     return (lr[None, :] == iota_r).astype(jnp.bfloat16)
 
 
+def _local_onehot_t(ranks_row, start, rl: int, be: int):
+    """Transposed orientation P_t[e, r], built directly (a dot with P_t is
+    cheaper than dot_general over P's dim 0, which relayouts the one-hot)."""
+    lr = ranks_row - start  # [BE]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (be, rl), 1)
+    return (lr[:, None] == iota_r).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Kernel bodies
 # ---------------------------------------------------------------------------
@@ -140,11 +148,10 @@ def _expand_kernel(start_ref, rank_ref, table_ref, out_ref, *, be, rl, sub):
     c = pl.program_id(0)
     for s in range(sub):
         start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
         slab = table_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
-        out_ref[pl.ds(s * be, be), :] = jax.lax.dot_general(
-            oh, slab, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        out_ref[pl.ds(s * be, be), :] = jnp.dot(
+            oh_t, slab, preferred_element_type=jnp.float32,
         )
 
 
@@ -159,10 +166,10 @@ def _film_fwd_kernel(start_ref, rank_ref, msg_ref, gb_ref, out_ref,
     for s in range(sub):
         start = pl.multiple_of(start_ref[c * sub + s], 8)
         oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
         gb_slab = gb_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
-        gb_e = jax.lax.dot_general(
-            oh, gb_slab, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        gb_e = jnp.dot(
+            oh_t, gb_slab, preferred_element_type=jnp.float32,
         )  # [BE, 2D]
         m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
         z = gb_e[:, :d] * m + gb_e[:, d:]
@@ -183,10 +190,10 @@ def _film_bwd_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
     for s in range(sub):
         start = pl.multiple_of(start_ref[c * sub + s], 8)
         oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
         slab = gbg_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
-        e_vals = jax.lax.dot_general(
-            oh, slab, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        e_vals = jnp.dot(
+            oh_t, slab, preferred_element_type=jnp.float32,
         )  # [BE, 3D] = gamma | beta | g
         gamma, beta, g = e_vals[:, :d], e_vals[:, d:2 * d], e_vals[:, 2 * d:]
         m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)

@@ -156,6 +156,8 @@ class SparseGraphModel(ABC):
         self._stacked_cache: Dict[Any, TaskBatch] = {}
         self._jitted_adj_build = None
         self._dense_adj_cached_gb = 0.0
+        self._fold_adj_gb: Dict[Any, float] = {}
+        self._train_epochs_seen = 0
 
     # -------------------- files --------------------
 
@@ -391,7 +393,8 @@ class SparseGraphModel(ABC):
             self.params.get("aggregation_strategy", "auto"),
         )
 
-    def _attach_cached_dense_adj_fold(self, batches: List[TaskBatch]):
+    def _attach_cached_dense_adj_fold(self, batches: List[TaskBatch],
+                                      data_fold=None):
         """When a fold's batches are device-resident across epochs, also
         cache their dense adjacency matrices (built once per RUN instead
         of once per step — the build is the single most expensive op of a
@@ -409,6 +412,8 @@ class SparseGraphModel(ABC):
         if self._dense_adj_cached_gb + fold_gb > budget:
             return batches
         self._dense_adj_cached_gb += fold_gb
+        if data_fold is not None:
+            self._fold_adj_gb[data_fold] = fold_gb
         if self._jitted_adj_build is None:
             from ..ops.edge_ops import dense_adjacency
 
@@ -460,6 +465,18 @@ class SparseGraphModel(ABC):
             return self._run_epoch_dp(epoch_name, data, data_fold, replicas)
 
         cache_on_device = self.params.get("cache_batches_on_device", False)
+        if data_fold == DataFold.TRAIN:
+            # Periodic re-packing of the device-resident TRAIN cache: the
+            # reference re-shuffles graphs into fresh packs every epoch
+            # (ppi_task.py:204); frozen packs only reshuffle batch order.
+            # repack_cached_every=K re-packs (and re-uploads) every K
+            # epochs as a middle ground; 0/None keeps packs frozen.
+            self._train_epochs_seen += 1
+            repack_every = int(self.params.get("repack_cached_every") or 0)
+            if (cache_on_device and repack_every > 0
+                    and self._train_epochs_seen > 1
+                    and (self._train_epochs_seen - 1) % repack_every == 0):
+                self._invalidate_fold_cache(data_fold)
         cached = self._batch_cache.get(data_fold) if cache_on_device else None
         if cached is not None:
             if self.params.get("scan_epochs", False):
@@ -523,7 +540,7 @@ class SparseGraphModel(ABC):
             # batches would split the cached batches into two pytree
             # structures and force an extra jit compilation.
             self._batch_cache[data_fold] = self._attach_cached_dense_adj_fold(
-                to_cache
+                to_cache, data_fold
             )
         # Single host sync at epoch end: fetch all metric scalars at once.
         host_metrics = jax.device_get(device_metrics)
@@ -550,6 +567,13 @@ class SparseGraphModel(ABC):
             nodes_per_sec,
             edges_per_sec,
         )
+
+    def _invalidate_fold_cache(self, data_fold) -> None:
+        """Drop a fold's device-resident batches (and their cached dense
+        adjacencies) so the next epoch re-packs from host data."""
+        self._batch_cache.pop(data_fold, None)
+        self._stacked_cache.pop(data_fold, None)
+        self._dense_adj_cached_gb -= self._fold_adj_gb.pop(data_fold, 0.0)
 
     def _empty_like_batch(self, batch: TaskBatch) -> TaskBatch:
         """A zero-weight clone used to pad the last data-parallel group:
