@@ -216,3 +216,28 @@ def test_rgcn_layer_ranked_matches_segment_path():
     np.testing.assert_allclose(np.asarray(out_rank)[real],
                                np.asarray(out_seg)[real],
                                rtol=5e-2, atol=5e-2)
+
+
+def test_film_layer_column_split_matches(monkeypatch):
+    """When the gamma/beta tables exceed the VMEM budget, the fused path
+    column-splits the elementwise-in-d modulation; results must match."""
+    from tf_gnn_samples_tpu.nn.layers import gnn_film_apply, gnn_film_init
+
+    rng = np.random.RandomState(9)
+    graph = _random_graph_batch(rng)
+    d = 256  # big enough that halving d actually halves the lane footprint
+    params = gnn_film_init(jax.random.PRNGKey(3), 2, d)
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+    out_seg = gnn_film_apply(params, graph, h, activation_function="relu",
+                             aggregation_strategy="segment")
+
+    e_tot = graph.flat.tgt_rank.shape[0]
+    rows = rs.fine_rank_table_rows(graph.n_pad, 2, e_tot, 256)
+    monkeypatch.setattr(rs, "_VMEM_BUDGET", 15 * 1024 * 1024)
+    assert rs.film_column_splits(e_tot, d, rows) in (2, 4)
+    out_split = gnn_film_apply(params, graph, h, activation_function="relu",
+                               aggregation_strategy="pallas")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_split)[real],
+                               np.asarray(out_seg)[real],
+                               rtol=5e-2, atol=5e-2)

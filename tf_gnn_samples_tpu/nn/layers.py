@@ -362,8 +362,7 @@ def gnn_film_apply(
         aggregation_strategy in ("auto", "pallas")
         and message_aggregation_function in ("sum", "unsorted_segment_sum")
         and rs.film_act_supported(activation_function)
-        and ranked_aggregation_ok(graph, "sum", 1, d, extra_table_cols=5 * d,
-                                  fine=True)
+        and ranked_aggregation_ok(graph, "sum", 1, d, film=True)
     )
     for _step in range(num_timesteps):
         t = typed_transform(h, params["W"])  # [L, N, D]
@@ -374,10 +373,29 @@ def gnn_film_apply(
         if fused:
             rank_nodes = fine_rank_to_flat(graph)
             gb_ranked = jnp.take(_flat(film), rank_nodes, axis=0, mode="clip")
-            table = rs.film_ranked_aggregate(
-                m, gb_ranked, graph.flat.tgt_rank,
-                activation_function.lower(),
+            act_name = activation_function.lower()
+            splits = rs.film_column_splits(
+                m.shape[0], d, gb_ranked.shape[0]
             )
+            if splits == 1:
+                table = rs.film_ranked_aggregate(
+                    m, gb_ranked, graph.flat.tgt_rank, act_name
+                )
+            else:
+                # Column-split the elementwise-in-d modulation so the
+                # per-split gamma/beta/grad tables fit VMEM.
+                w = d // splits
+                parts = []
+                for i in range(splits):
+                    cols = slice(i * w, (i + 1) * w)
+                    gb_i = jnp.concatenate(
+                        [gb_ranked[:, cols], gb_ranked[:, d + i * w:d + (i + 1) * w]],
+                        axis=1,
+                    )
+                    parts.append(rs.film_ranked_aggregate(
+                        m[:, cols], gb_i, graph.flat.tgt_rank, act_name
+                    ))
+                table = jnp.concatenate(parts, axis=1)
             agg = fine_table_to_nodes(table, graph)
         else:
             gb = gather_flat_tgt(_flat(film), graph.flat)  # FiLM from *target*

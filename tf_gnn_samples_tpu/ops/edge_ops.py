@@ -266,8 +266,7 @@ def aggregate_flat_ranked(messages, graph, aggregation: str,
 
 
 def ranked_aggregation_ok(graph, aggregation: str, ndim_extra: int,
-                          d: int, extra_table_cols: int = 0,
-                          fine: bool = False) -> bool:
+                          d: int, film: bool = False) -> bool:
     """Trace-time eligibility of the ranked kernel path."""
     from . import ranked_segment as rs
 
@@ -277,14 +276,12 @@ def ranked_aggregation_ok(graph, aggregation: str, ndim_extra: int,
     if not (rs.on_tpu() or rs._FORCE_INTERPRET):
         return False
     e_tot = graph.flat.rcv_rank.shape[0]
-    if fine:
+    if film:
         rows = rs.fine_rank_table_rows(
             graph.n_pad, graph.num_edge_types, e_tot, 256
         )
-    else:
-        rows = rs.rank_table_rows(graph.n_pad, 256)
-    return rs.ranked_supported(e_tot, d, rows,
-                               extra_table_cols=extra_table_cols)
+        return rs.film_column_splits(e_tot, d, rows) > 0
+    return rs.ranked_supported(e_tot, d, rs.rank_table_rows(graph.n_pad, 256))
 
 
 def segment_softmax_flat(logits, flat, n_pad: int):

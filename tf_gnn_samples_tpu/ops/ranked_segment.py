@@ -93,6 +93,33 @@ def ranked_supported(num_edges: int, dim: int, table_rows: int,
     return vmem <= _VMEM_BUDGET
 
 
+def film_column_splits(num_edges: int, dim: int, table_rows: int) -> int:
+    """Smallest column-split count in {1, 2, 4} whose per-split tables fit
+    VMEM (the FiLM modulation is elementwise in d, so the fused kernels
+    decompose perfectly over column slices). 0 = not supported."""
+    for halves in (1, 2, 4):
+        if dim % halves == 0 and film_ranked_supported(
+            num_edges, dim // halves, table_rows
+        ):
+            return halves
+    return 0
+
+
+def film_ranked_supported(num_edges: int, dim: int, table_rows: int) -> bool:
+    """Eligibility of the fused FiLM kernels: models the larger of the
+    forward pass (bf16 gamma|beta table + f32 out table) and the backward
+    pass (bf16 gamma|beta|g table + f32 d_gamma|d_beta table) VMEM peaks."""
+    if num_edges % STEP != 0 or num_edges < STEP:
+        return False
+    lane_d = _ceil_mult(dim, 128)
+    lane_2d = _ceil_mult(2 * dim, 128)
+    lane_3d = _ceil_mult(3 * dim, 128)
+    streams = 4 * STEP * lane_d * 4
+    fwd = table_rows * (lane_2d * 2 + lane_d * 4) + streams
+    bwd = table_rows * (lane_3d * 2 + lane_2d * 4) + 2 * streams
+    return max(fwd, bwd) <= _VMEM_BUDGET
+
+
 def _chunk_inputs(rcv_rank: jnp.ndarray, block_edges: int):
     """Per-chunk rank blocks and aligned window starts, derived in-jit.
 
@@ -417,22 +444,25 @@ def film_ranked_aggregate(msgs, gb_table, ranks, act: str = "relu",
     Backward recomputes the modulation in a mirrored streaming kernel and
     returns (d_msgs [E, D], d_gb_table [RPAD, 2D]) — no per-edge gathers.
     """
-    return _film_fwd_impl(msgs, gb_table, ranks,
+    return _film_fwd_impl(msgs, gb_table.astype(jnp.bfloat16), ranks,
                           block_edges=block_edges, act=act)
 
 
 def _film_vjp_fwd(msgs, gb_table, ranks, act, block_edges):
-    out = _film_fwd_impl(msgs, gb_table, ranks,
+    gb16 = gb_table.astype(jnp.bfloat16)
+    out = _film_fwd_impl(msgs, gb16, ranks,
                          block_edges=block_edges, act=act)
-    return out, (msgs, gb_table, ranks)
+    return out, (msgs, gb16, jnp.zeros((0,), gb_table.dtype), ranks)
 
 
 def _film_vjp_bwd(act, block_edges, res, g):
-    msgs, gb_table, ranks = res
-    gbg = jnp.concatenate([gb_table.astype(jnp.float32), g], axis=1)
+    msgs, gb16, gb_proto, ranks = res
+    # bf16 gamma|beta|g table: the kernel consumes bf16 slabs either way,
+    # and halving the resident table doubles the shapes that fit VMEM.
+    gbg = jnp.concatenate([gb16, g.astype(jnp.bfloat16)], axis=1)
     d_msgs, d_gb = _film_bwd_impl(msgs, gbg, ranks,
                                   block_edges=block_edges, act=act)
-    return (d_msgs.astype(msgs.dtype), d_gb.astype(gb_table.dtype), None)
+    return (d_msgs.astype(msgs.dtype), d_gb.astype(gb_proto.dtype), None)
 
 
 film_ranked_aggregate.defvjp(_film_vjp_fwd, _film_vjp_bwd)

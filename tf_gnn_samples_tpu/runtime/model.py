@@ -775,8 +775,25 @@ class SparseGraphModel(ABC):
         metrics_writer = None
         if tf_summary_path is not None:
             from ..utils.metrics_writer import MetricsWriter
+            from ..utils.tb_writer import FoldedTensorBoardWriter
 
-            metrics_writer = MetricsWriter(tf_summary_path)
+            class _Fanout:
+                """JSONL stream plus TensorBoard event files, fed the same
+                (fold, step, scalars) records (the reference's --tensorboard
+                writes event files; the JSONL stream is this framework's
+                always-readable extra)."""
+
+                def __init__(self, sinks):
+                    self._sinks = sinks
+
+                def write(self, fold, step, scalars):
+                    for sink in self._sinks:
+                        sink.write(fold, step, scalars)
+
+            metrics_writer = _Fanout([
+                MetricsWriter(tf_summary_path),
+                FoldedTensorBoardWriter(tf_summary_path, self.run_id),
+            ])
 
         best_valid_metric, best_val_metric_epoch, best_val_metric_descr = (
             float("+inf"), 0, "",
