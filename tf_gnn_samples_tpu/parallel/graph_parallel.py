@@ -16,10 +16,14 @@ than `max_nodes_in_batch` is simply unhandled there — SURVEY.md §5
   reduce-scatter, inserted automatically), and optimizer updates run on
   replicated parameters after a `psum`.
 
-Supported layer families here: the flat-stream layers (RGCN, GGNN,
-GNN-FiLM, RGAT) — per-type weights stay replicated; per-edge work scales
-1/P; node-state memory scales 1/P, which is what lets a graph too big for
-one chip's HBM train at all.
+Supported layer families (GP_LAYERS): RGCN, GGNN, GNN-FiLM, RGAT —
+per-type weights stay replicated; per-edge work scales 1/P; node-state
+memory scales 1/P, which is what lets a graph too big for one chip's HBM
+train at all. `make_gp_task_steps` + `partition_task_batch` integrate this
+with the model runtime: set model param `graph_parallel: P` (the task's
+input/output models run replicated on the padded batch; only the
+propagation is sharded). A halo-exchange variant (boundary features only,
+one all_to_all per layer) exists for RGCN and GNN-FiLM.
 """
 
 from typing import Any, List, NamedTuple, Tuple
@@ -477,3 +481,376 @@ def gp_halo_rgcn_layer(W, shard: GPHaloShard, h_local, axis_name: str,
         msgs = msgs * shard.norm_scale[:, None]
     agg = aggregate_flat(msgs, flat, n_local, "sum")
     return activation_fn(agg)
+
+
+# ---------------------------------------------------------------------------
+# First-class runtime integration: the full layer zoo over GP shards, a
+# propagation mirror, and task-generic train/eval steps driven by the
+# model's own parameter tree (so checkpoints / restore / the CLI work
+# unchanged with `graph_parallel: P`).
+# ---------------------------------------------------------------------------
+
+
+def gp_ggnn_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
+                  *, num_timesteps=1, gated_unit_type="gru",
+                  activation_function="tanh",
+                  message_aggregation_function="sum", **_):
+    """GGNN over the partition: messages from the all-gathered typed
+    transform table; the RNN cell update is per-node and purely local
+    (reference semantics: gnns/ggnn.py:92 — messages as cell INPUT)."""
+    from ..nn.cells import cell_apply
+
+    n_local = h_local.shape[0]
+    c = None
+    for _ in range(num_timesteps):
+        t_local = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
+                             preferred_element_type=jnp.float32)
+        t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+        L, n_global, D = t_full.shape
+        msgs = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
+        agg = aggregate_flat(msgs, shard.flat, n_local,
+                             message_aggregation_function)
+        h_local, c = cell_apply(gnn_params["cell"], gated_unit_type, agg,
+                                h_local, activation_function, c)
+    return h_local
+
+
+def gp_rgcn_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
+                     *, num_timesteps=1, activation_function="tanh",
+                     message_aggregation_function="sum",
+                     normalize_by_num_incoming=True,
+                     use_both_source_and_target=False, **_):
+    """RGCN over the partition with the full layer-kwarg surface
+    (reference: gnns/rgcn.py:8-115)."""
+    from ..nn.activations import get_activation
+    from ..ops.edge_ops import gather_flat_tgt
+
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    d = h_local.shape[-1]
+    W = gnn_params["W"]
+    for _ in range(num_timesteps):
+        if use_both_source_and_target:
+            t_src = jnp.einsum("nd,lde->lne", h_local, W[:, :d, :],
+                               preferred_element_type=jnp.float32)
+            t_tgt = jnp.einsum("nd,lde->lne", h_local, W[:, d:, :],
+                               preferred_element_type=jnp.float32)
+            src_full = jax.lax.all_gather(t_src, axis_name, axis=1, tiled=True)
+            tgt_full = jax.lax.all_gather(t_tgt, axis_name, axis=1, tiled=True)
+            L, n_global, D = src_full.shape
+            msgs = (
+                gather_flat_src(src_full.reshape(L * n_global, D), shard.flat)
+                + gather_flat_tgt(tgt_full.reshape(L * n_global, D), shard.flat)
+            )
+        else:
+            t_local = jnp.einsum("nd,lde->lne", h_local, W,
+                                 preferred_element_type=jnp.float32)
+            t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+            L, n_global, D = t_full.shape
+            msgs = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
+        if normalize_by_num_incoming:
+            msgs = msgs * shard.flat.norm_scale[:, None]
+        h_local = act(aggregate_flat(msgs, shard.flat, n_local,
+                                     message_aggregation_function))
+    return h_local
+
+
+def gp_rgat_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
+                  *, num_timesteps=1, num_heads=4,
+                  activation_function="tanh", **_):
+    """RGAT over the partition: attention logits from node-sided halves of
+    the all-gathered tables; the per-(receiver, head) segment softmax is
+    local because edges live on their receiver's device (reference
+    semantics: gnns/rgat.py:95-138)."""
+    from ..nn.activations import get_activation
+    from ..ops.edge_ops import aggregate_flat_sum, segment_softmax_flat
+
+    act = get_activation(activation_function)
+    n_local, state_dim = h_local.shape
+    head_dim = state_dim // num_heads
+    att = gnn_params["att"].reshape(-1, num_heads, 2 * head_dim)
+    att_src, att_tgt = att[..., :head_dim], att[..., head_dim:]
+
+    for _ in range(num_timesteps):
+        t_local = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
+                             preferred_element_type=jnp.float32)
+        t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+        L, n_global, D = t_full.shape
+        t_heads = t_full.reshape(L, n_global, num_heads, head_dim)
+        logit_src = jnp.einsum("lnkd,lkd->lnk", t_heads, att_src)
+        logit_tgt = jnp.einsum("lnkd,lkd->lnk", t_heads, att_tgt)
+        flat = shard.flat
+        logits = jax.nn.leaky_relu(
+            jnp.take(logit_src.reshape(L * n_global, num_heads),
+                     flat.src_flat, axis=0, mode="clip")
+            + jnp.take(logit_tgt.reshape(L * n_global, num_heads),
+                       flat.tgt_flat, axis=0, mode="clip"),
+            negative_slope=0.2,
+        )
+        msgs = gather_flat_src(
+            t_heads.reshape(L * n_global, num_heads * head_dim), flat
+        ).reshape(-1, num_heads, head_dim)
+        attn = segment_softmax_flat(logits, flat, n_local)
+        agg = aggregate_flat_sum(msgs * attn[..., None], flat, n_local)
+        h_local = act(agg.reshape(n_local, state_dim))
+    return h_local
+
+
+def gp_film_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
+                     *, num_timesteps=1, activation_function="relu",
+                     message_aggregation_function="sum",
+                     normalize_by_num_incoming=False, **_):
+    """GNN-FiLM over the partition with the full kwarg surface."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+    from ..ops.edge_ops import gather_flat_tgt
+
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    d = h_local.shape[-1]
+    for _ in range(num_timesteps):
+        t_local = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
+                             preferred_element_type=jnp.float32)
+        f_local = jnp.einsum("nd,lde->lne", h_local, gnn_params["W_film"],
+                             preferred_element_type=jnp.float32)
+        t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+        f_full = jax.lax.all_gather(f_local, axis_name, axis=1, tiled=True)
+        L, n_global, D = t_full.shape
+        m = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
+        if normalize_by_num_incoming:
+            m = m * shard.flat.norm_scale[:, None]
+        gb = gather_flat_tgt(f_full.reshape(L * n_global, 2 * d), shard.flat)
+        msgs = act(gb[:, :d] * m + gb[:, d:])
+        agg = aggregate_flat(msgs, shard.flat, n_local,
+                             message_aggregation_function)
+        h_local = layer_norm(gnn_params["ln"], agg)
+    return h_local
+
+
+def gp_film_halo_layer(gnn_params, shard: GPHaloShard, h_local,
+                       axis_name: str, *, num_timesteps=1,
+                       activation_function="relu",
+                       message_aggregation_function="sum",
+                       normalize_by_num_incoming=False, **_):
+    """GNN-FiLM over the halo partition: exchange only boundary features
+    (one all_to_all of [P, halo_pad, D] per timestep), then transform and
+    modulate on the extended local table."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+    from ..ops.edge_ops import _gather_permuted
+
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    d = h_local.shape[-1]
+    for _ in range(num_timesteps):
+        ext = _halo_exchange(shard, h_local, axis_name)
+        t = jnp.einsum("nd,lde->lne", ext, gnn_params["W"],
+                       preferred_element_type=jnp.float32)
+        f = jnp.einsum("nd,lde->lne", ext, gnn_params["W_film"],
+                       preferred_element_type=jnp.float32)
+        L, n_ext, D = t.shape
+        flat = _HaloFlat(
+            src_flat=shard.src_ext, tgt_flat=shard.tgt_flat,
+            receivers=shard.receivers, edge_type=None, mask=shard.mask,
+            norm_scale=shard.norm_scale, perm_by_src=shard.perm_by_src,
+            perm_by_tgt=shard.perm_by_tgt,
+        )
+        m = gather_flat_src(t.reshape(L * n_ext, D), flat)
+        if normalize_by_num_incoming:
+            m = m * shard.norm_scale[:, None]
+        idx_sorted = jnp.take(flat.tgt_flat, flat.perm_by_tgt)
+        gb = _gather_permuted(f.reshape(L * n_ext, 2 * d), flat.tgt_flat,
+                              flat.perm_by_tgt, idx_sorted)
+        msgs = act(gb[:, :d] * m + gb[:, d:])
+        agg = aggregate_flat(msgs, flat, n_local,
+                             message_aggregation_function)
+        h_local = layer_norm(gnn_params["ln"], agg)
+    return h_local
+
+
+GP_LAYERS = {
+    "rgcn": gp_rgcn_layer_kw,
+    "gnn_film": gp_film_layer_kw,
+    "ggnn": gp_ggnn_layer,
+    "rgat": gp_rgat_layer,
+}
+
+
+def gp_propagation_apply(prop_params, model_params, shard: GPShard, h_local,
+                         axis_name: str, layer_name: str, layer_kwargs,
+                         rng=None):
+    """Sharded mirror of nn.propagation.propagation_apply over a GPShard:
+    identical per-node schedule (projection, input dropout, averaging
+    residuals, inter-layer LayerNorm/Dense — all local), with the GNN layer
+    drawn from GP_LAYERS. Consumes the SAME parameter tree as the
+    single-device stack."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+
+    if layer_name not in GP_LAYERS:
+        raise ValueError(
+            "graph_parallel supports %s; got %r"
+            % (sorted(GP_LAYERS), layer_name)
+        )
+    gp_layer = GP_LAYERS[layer_name]
+    act = get_activation(model_params["graph_model_activation_function"])
+    keep_prob = model_params["graph_layer_input_dropout_keep_prob"]
+    residual_every = model_params["graph_residual_connection_every_num_layers"]
+    dense_every = model_params["graph_dense_between_every_num_gnn_layers"]
+    timesteps = model_params["graph_num_timesteps_per_layer"]
+
+    h = h_local
+    if "proj" in prop_params:
+        h = act(jnp.dot(h, prop_params["proj"],
+                        preferred_element_type=jnp.float32))
+    last_residual = jnp.zeros_like(h)
+    for i, layer_params in enumerate(prop_params["layers"]):
+        if rng is not None and keep_prob < 1.0:
+            rng, sub = jax.random.split(rng)
+            mask = jax.random.bernoulli(sub, keep_prob, h.shape)
+            h = jnp.where(mask, h / keep_prob, 0.0)
+        if i % residual_every == 0:
+            t = h
+            if i > 0:
+                h = (h + last_residual) / 2.0
+            last_residual = t
+        h = gp_layer(layer_params["gnn"], shard, h, axis_name,
+                     num_timesteps=timesteps, **layer_kwargs)
+        if "ln" in layer_params:
+            h = layer_norm(layer_params["ln"], h)
+        if i % dense_every == 0:
+            h = act(jnp.dot(h, layer_params["dense"],
+                            preferred_element_type=jnp.float32))
+    return h
+
+
+def partition_task_batch(batch, num_partitions: int, n_pad_target: int,
+                         e_pad_total: int):
+    """Partition one padded TaskBatch's mega-graph into GP shards with
+    FOLD-STATIC shapes: n_local derives from the fold's n_pad, and every
+    device's edge buffer is the fold's total edge budget (worst case: all
+    receivers on one device), so every batch of a fold compiles once."""
+    g = batch.graph
+    n = int(batch.num_nodes)
+    feats = np.asarray(g.node_features)[:n]
+    adj = []
+    for e in g.edges:
+        sel = np.asarray(e.mask) > 0
+        adj.append(np.stack(
+            [np.asarray(e.senders)[sel], np.asarray(e.receivers)[sel]],
+            axis=1,
+        ).astype(np.int64))
+    n_local = bucket_size(-(-n_pad_target // num_partitions), min_size=8)
+    # partition_graph buckets its own n_local identically when given a
+    # feature array padded to n_pad_target rows:
+    feats_padded = np.zeros((n_pad_target, feats.shape[1]), np.float32)
+    feats_padded[:n] = feats
+    counts = np.asarray(g.typed_incoming_counts)[:, :n_pad_target]
+    stacked, nl, n_global = partition_graph(
+        feats_padded, adj, num_partitions, typed_incoming_counts=counts
+    )
+    assert nl == n_local, (nl, n_local)
+    # Enforce the fold-static edge pad (re-pad each device's stream):
+    cur_epad = stacked.flat.src_flat.shape[1]
+    if cur_epad < e_pad_total:
+        pad = e_pad_total - cur_epad
+        L = len(adj)
+
+        def pad_edges(x, fill):
+            return np.concatenate(
+                [x, np.full((num_partitions, pad), fill, x.dtype)], axis=1
+            )
+
+        flat = stacked.flat
+        src = pad_edges(flat.src_flat, L * n_global)
+        tgt = pad_edges(flat.tgt_flat, L * n_global)
+        rcv = pad_edges(flat.receivers, nl)
+        msk = pad_edges(flat.mask, 0.0)
+        nrm = pad_edges(flat.norm_scale, 0.0)
+        perm_src = np.stack([np.argsort(src[p], kind="stable")
+                             for p in range(num_partitions)]).astype(np.int32)
+        perm_tgt = np.stack([np.argsort(tgt[p], kind="stable")
+                             for p in range(num_partitions)]).astype(np.int32)
+        stacked = stacked._replace(flat=GPFlatEdges(
+            src_flat=src, tgt_flat=tgt, receivers=rcv, mask=msk,
+            norm_scale=nrm, perm_by_src=perm_src, perm_by_tgt=perm_tgt,
+        ))
+    return stacked, n_local, n_global
+
+
+def make_gp_task_steps(model, mesh: Mesh, axis_name: str = "gp"):
+    """Task-generic graph-parallel train/eval steps for a SparseGraphModel.
+
+    The propagation runs sharded (node states 1/P per device); the task's
+    input and output models run REPLICATED on the padded batch — the final
+    local states are all-gathered once per step, so any task head works
+    unchanged (vs. the reference's single-device-everything). Gradients of
+    the sharded part flow through the collectives; a pmean washes float
+    divergence before the replicated optimizer update."""
+    clip_norm = model.params["clamp_gradient_norm"]
+    layer_name = model.layer_name
+    layer_kwargs = model.layer_kwargs()
+
+    def forward(params, batch, shard, h0_full, rng, n_pad):
+        idx = jax.lax.axis_index(axis_name)
+        n_local = shard.node_features.shape[0]
+        n_global = n_local * mesh.shape[axis_name]
+        h0 = jnp.pad(h0_full, ((0, n_global - h0_full.shape[0]), (0, 0)))
+        h_local = jax.lax.dynamic_slice_in_dim(h0, idx * n_local, n_local)
+        h_local = gp_propagation_apply(
+            params["prop"], model.params, shard, h_local, axis_name,
+            layer_name, layer_kwargs, rng=rng,
+        )
+        h_full = jax.lax.all_gather(h_local, axis_name, axis=0, tiled=True)
+        return h_full[:n_pad]
+
+    def train_device(params, opt_state, rng, batch, shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        dev_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_in, rng_prop, rng_out = jax.random.split(rng, 3)
+        _, _, dev_rng_prop = jax.random.split(dev_rng, 3)
+
+        def loss_fn(p):
+            feats = model.task.input_apply(p["input"], batch, rng_in)
+            h_full = forward(p, batch, shard, feats, dev_rng_prop,
+                             batch.graph.n_pad)
+            loss, metrics = model.task.output_apply(
+                p["output"], batch, h_full, feats, rng_out
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, axis_name)
+        grads = clip_grads_per_tensor(grads, clip_norm)
+        lr = model._effective_lr(batch.graph.num_graphs)
+        new_params, new_opt_state = model._optimizer.update(
+            grads, opt_state, params, lr
+        )
+        return new_params, new_opt_state, metrics
+
+    def eval_device(params, batch, shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        feats = model.task.input_apply(params["input"], batch, None)
+        h_full = forward(params, batch, shard, feats, None,
+                         batch.graph.n_pad)
+        _, metrics = model.task.output_apply(
+            params["output"], batch, h_full, feats, None
+        )
+        return metrics
+
+    train_sharded = shard_map(
+        train_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    eval_sharded = shard_map(
+        eval_device, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return (jax.jit(train_sharded, donate_argnums=(0, 1)),
+            jax.jit(eval_sharded))

@@ -116,6 +116,13 @@ class SparseGraphModel(ABC):
             # weighted psums, exactly the single-device gradient of the
             # concatenated batch.
             "num_model_replicas": 1,
+            # TPU-native extension: graph parallelism — each batch's packed
+            # mega-graph is node-partitioned across `graph_parallel`
+            # devices (node-state memory scales 1/P; per-layer feature
+            # exchange over ICI). The task's input/output models run
+            # replicated on the padded batch, so every task works
+            # unchanged. See parallel/graph_parallel.py.
+            "graph_parallel": 1,
         }
 
     @staticmethod
@@ -152,6 +159,7 @@ class SparseGraphModel(ABC):
         self._jitted_eval_step = None
         self._jitted_epoch_fns = None
         self._dp_steps = None
+        self._gp_steps = None
         self._batch_cache: Dict[Any, List[TaskBatch]] = {}
         self._stacked_cache: Dict[Any, TaskBatch] = {}
         self._jitted_adj_build = None
@@ -445,7 +453,22 @@ class SparseGraphModel(ABC):
         data_fold: DataFold,
         quiet: bool = False,
     ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        gp = int(self.params.get("graph_parallel", 1) or 1)
         replicas = int(self.params.get("num_model_replicas", 1) or 1)
+        if gp > 1:
+            if replicas > 1:
+                raise ValueError(
+                    "graph_parallel and num_model_replicas are mutually "
+                    "exclusive (got %d and %d)" % (gp, replicas)
+                )
+            if len(jax.devices()) < gp:
+                raise ValueError(
+                    "graph_parallel=%d but only %d devices visible"
+                    % (gp, len(jax.devices()))
+                )
+            return self._run_epoch_graph_parallel(
+                epoch_name, data, data_fold, gp, quiet
+            )
         if replicas > 1:
             if len(jax.devices()) < replicas:
                 raise ValueError(
@@ -666,6 +689,82 @@ class SparseGraphModel(ABC):
             for m, c in zip(task_metric_results, batch_graph_counts)
         ))
 
+        epoch_time = time.time() - start_time
+        return (
+            epoch_loss / processed_graphs,
+            task_metric_results,
+            processed_graphs,
+            processed_graphs / epoch_time,
+            processed_nodes / epoch_time,
+            processed_edges / epoch_time,
+        )
+
+    def _run_epoch_graph_parallel(
+        self, epoch_name: str, data, data_fold: DataFold, num_partitions: int,
+        quiet: bool = False,
+    ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        """Graph-parallel epoch: every batch's mega-graph is node-partitioned
+        across `num_partitions` devices (parallel/graph_parallel.py). The
+        padded TaskBatch itself is replicated for the task's input/output
+        models; only the propagation is sharded."""
+        from ..ops.graph import bucket_size
+        from ..parallel.data_parallel import make_mesh
+        from ..parallel.graph_parallel import (
+            make_gp_task_steps,
+            partition_task_batch,
+        )
+
+        if self._gp_steps is None:
+            mesh = make_mesh(num_partitions, axis_name="gp")
+            self._gp_steps = make_gp_task_steps(self, mesh)
+        gp_train, gp_eval = self._gp_steps
+
+        start_time = time.time()
+        processed_graphs = processed_nodes = processed_edges = 0
+        device_metrics: List[Dict[str, Any]] = []
+        batch_graph_counts: List[int] = []
+
+        batch_iterator = ThreadedIterator(
+            self.task.make_minibatch_iterator(
+                data, data_fold, self.params["max_nodes_in_batch"]
+            ),
+            max_queue_size=5,
+        )
+        for step_i, batch in enumerate(batch_iterator):
+            processed_graphs += int(batch.num_graphs)
+            processed_nodes += int(batch.num_nodes)
+            processed_edges += int(batch.num_edges)
+            e_pad_total = bucket_size(
+                sum(e.senders.shape[0] for e in batch.graph.edges),
+                min_size=64,
+            )
+            shards, _, _ = partition_task_batch(
+                batch, num_partitions, batch.graph.n_pad, e_pad_total
+            )
+            dev_batch = self._device_batch(batch)
+            if data_fold == DataFold.TRAIN:
+                rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
+                self.model_params_tree, self.opt_state, metrics = gp_train(
+                    self.model_params_tree, self.opt_state, rng,
+                    dev_batch, shards,
+                )
+            else:
+                metrics = gp_eval(self.model_params_tree, dev_batch, shards)
+            device_metrics.append(metrics)
+            batch_graph_counts.append(batch.num_graphs)
+            if not quiet and step_i % 16 == 0:
+                print("Running %s, batch %i (has %i graphs)."
+                      % (epoch_name, step_i, batch.num_graphs), end="\r")
+
+        assert processed_graphs > 0, "Can't run epoch over empty dataset."
+        host_metrics = jax.device_get(device_metrics)
+        task_metric_results = [
+            {k: np.asarray(v) for k, v in m.items()} for m in host_metrics
+        ]
+        epoch_loss = float(sum(
+            float(m["loss"]) * n
+            for m, n in zip(task_metric_results, batch_graph_counts)
+        ))
         epoch_time = time.time() - start_time
         return (
             epoch_loss / processed_graphs,
