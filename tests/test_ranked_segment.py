@@ -241,3 +241,33 @@ def test_film_layer_column_split_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_split)[real],
                                np.asarray(out_seg)[real],
                                rtol=5e-2, atol=5e-2)
+
+
+def test_ranked_gather_vjp_matches_legacy():
+    """gather_flat_src/tgt with streaming ranked VJPs must produce the same
+    gradients as the sorted-XLA-scatter path."""
+    from tf_gnn_samples_tpu.ops import edge_ops as eo
+
+    rng = np.random.RandomState(11)
+    graph = _random_graph_batch(rng)
+    L, n_pad, d = 2, graph.n_pad, 128
+    table = jnp.asarray(rng.randn(L * n_pad, d).astype(np.float32))
+    flat = graph.flat
+
+    def loss_ranked(t):
+        return jnp.sum(jnp.tanh(eo.gather_flat_src(t, flat))) + jnp.sum(
+            jnp.tanh(eo.gather_flat_tgt(t, flat)))
+
+    flat_legacy = flat._replace(src_sorted_rank=None, tgt_sorted_rank=None)
+
+    def loss_legacy(t):
+        return jnp.sum(jnp.tanh(eo.gather_flat_src(t, flat_legacy))) + jnp.sum(
+            jnp.tanh(eo.gather_flat_tgt(t, flat_legacy)))
+
+    out_r = loss_ranked(table)
+    out_l = loss_legacy(table)
+    np.testing.assert_allclose(float(out_r), float(out_l), rtol=1e-5)
+    g_r = jax.grad(loss_ranked)(table)
+    g_l = jax.grad(loss_legacy)(table)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_l),
+                               rtol=3e-2, atol=3e-2)

@@ -21,6 +21,10 @@ These replace the reference's tf.gather / tf.unsorted_segment_* hot pair
 
 
 
+import functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -152,15 +156,81 @@ def aggregate_blocks(per_type_messages, graph, aggregation: str):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_ranked(table, idx, perm, sorted_rank, to_rank, block_edges):
+    """table[idx] whose VJP runs the scatter THROUGH the streaming
+    rank-table kernel: segment-sum the permuted cotangent by the
+    host-precomputed gap-free ranks of the sorted index stream, then map
+    rank rows back to table rows with one cheap [rows]-gather
+    (ops/ranked_segment.py)."""
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
+def _gather_ranked_fwd(table, idx, perm, sorted_rank, to_rank, block_edges):
+    out = jnp.take(table, idx, axis=0, mode="clip")
+    res = (perm, sorted_rank, to_rank, table.shape[0],
+           jnp.zeros((0,), table.dtype))
+    return out, res
+
+
+def _gather_ranked_bwd(block_edges, res, g):
+    from .ranked_segment import _ceil_mult, ranked_segment_sum_table
+
+    perm, sorted_rank, to_rank, num_rows, proto = res
+    e_tot = perm.shape[0]
+    rows = _ceil_mult(min(num_rows + 1, e_tot), 8) + block_edges + 8
+    g_perm = jnp.take(g.astype(jnp.float32), perm, axis=0)
+    rank_table = ranked_segment_sum_table(g_perm, sorted_rank, rows,
+                                          block_edges)
+    valid = to_rank >= 0
+    d_table = jnp.take(rank_table, jnp.maximum(to_rank, 0), axis=0)
+    d_table = jnp.where(valid[:, None], d_table, 0.0).astype(proto.dtype)
+    return (d_table, None, None, None, None)
+
+
+_gather_ranked.defvjp(_gather_ranked_fwd, _gather_ranked_bwd)
+
+
+def _ranked_gather_ok(table, flat, rank_field) -> bool:
+    from . import ranked_segment as rs
+
+    if getattr(flat, rank_field, None) is None:
+        return False
+    if not (rs.on_tpu() or rs._FORCE_INTERPRET):
+        return False
+    e_tot = flat.src_flat.shape[0]
+    d = int(np.prod(table.shape[1:]))
+    if d < 64:  # narrow streams: XLA's segment-sum is cheap enough
+        return False
+    rows = rs._ceil_mult(min(table.shape[0] + 1, e_tot), 8) + 256 + 8
+    return rs.ranked_supported(e_tot, d, rows)
+
+
 def gather_flat_src(table_flat, flat):
     """table_flat[[L*N, ...]][src_flat] — per-edge source-side value from a
-    type-stacked node table; bwd is a sorted segment-sum via perm_by_src."""
+    type-stacked node table; bwd is a streaming ranked segment-sum when
+    the shape qualifies, else a sorted XLA segment-sum via perm_by_src."""
+    if _ranked_gather_ok(table_flat, flat, "src_sorted_rank"):
+        tail = table_flat.shape[1:]
+        out = _gather_ranked(
+            table_flat.reshape(table_flat.shape[0], -1), flat.src_flat,
+            flat.perm_by_src, flat.src_sorted_rank, flat.src_to_rank, 256,
+        )
+        return out.reshape((flat.src_flat.shape[0],) + tail)
     idx_sorted = jnp.take(flat.src_flat, flat.perm_by_src)
     return _gather_permuted(table_flat, flat.src_flat, flat.perm_by_src, idx_sorted)
 
 
 def gather_flat_tgt(table_flat, flat):
-    """table_flat[[L*N, ...]][tgt_flat]; bwd sorted via perm_by_tgt."""
+    """table_flat[[L*N, ...]][tgt_flat]; bwd streaming-ranked when the
+    shape qualifies, else sorted via perm_by_tgt."""
+    if _ranked_gather_ok(table_flat, flat, "tgt_sorted_rank"):
+        tail = table_flat.shape[1:]
+        out = _gather_ranked(
+            table_flat.reshape(table_flat.shape[0], -1), flat.tgt_flat,
+            flat.perm_by_tgt, flat.tgt_sorted_rank, flat.tgt_to_rank, 256,
+        )
+        return out.reshape((flat.tgt_flat.shape[0],) + tail)
     idx_sorted = jnp.take(flat.tgt_flat, flat.perm_by_tgt)
     return _gather_permuted(table_flat, flat.tgt_flat, flat.perm_by_tgt, idx_sorted)
 

@@ -84,6 +84,15 @@ class FlatEdges(NamedTuple):
     # fused GNN-FiLM gamma/beta tables.
     rcv_rank: jnp.ndarray  # [E_tot] int32
     tgt_rank: jnp.ndarray  # [E_tot] int32
+    # Ranks of the PERMUTED streams, for streaming gather VJPs: the
+    # backward of a src/tgt-side gather is a segment-sum over the sorted
+    # permutation of the cotangent; these gap-free group ranks (plus the
+    # node-table -> rank maps below, -1 = no edges) let that scatter run
+    # through the rank-table kernel instead of XLA's scatter lowering.
+    src_sorted_rank: jnp.ndarray = None  # [E_tot] int32 (by perm_by_src)
+    src_to_rank: jnp.ndarray = None  # [L * n_pad] int32
+    tgt_sorted_rank: jnp.ndarray = None  # [E_tot] int32 (by perm_by_tgt)
+    tgt_to_rank: jnp.ndarray = None  # [L * n_pad] int32
 
 
 class GraphBatch(NamedTuple):
@@ -249,17 +258,46 @@ def pad_graph_batch(
     real_any = rcv_sorted < n_pad
     node_has_incoming[np.unique(rcv_sorted[real_any])] = 1.0
 
+    src_in_stream = src_flat[order]
+    tgt_in_stream = tgt_flat[order]
+    perm_by_src = np.argsort(src_in_stream, kind="stable").astype(np.int32)
+    perm_by_tgt = np.argsort(tgt_in_stream, kind="stable").astype(np.int32)
+
+    def _sorted_ranks(sorted_vals, table_rows):
+        e_tot = sorted_vals.shape[0]
+        new = np.empty(e_tot, dtype=bool)
+        if e_tot:
+            new[0] = True
+            new[1:] = sorted_vals[1:] != sorted_vals[:-1]
+        ranks = (np.cumsum(new) - 1).astype(np.int32)
+        to_rank = np.full((table_rows,), -1, dtype=np.int32)
+        firsts = sorted_vals[new]
+        keep = firsts < table_rows
+        to_rank[firsts[keep]] = ranks[new][keep]
+        return ranks, to_rank
+
+    src_sorted_rank, src_to_rank = _sorted_ranks(
+        src_in_stream[perm_by_src], L * n_pad
+    )
+    tgt_sorted_rank, tgt_to_rank = _sorted_ranks(
+        tgt_in_stream[perm_by_tgt], L * n_pad
+    )
+
     flat = FlatEdges(
-        src_flat=src_flat[order],
-        tgt_flat=tgt_flat[order],
+        src_flat=src_in_stream,
+        tgt_flat=tgt_in_stream,
         receivers=rcv_sorted,
         edge_type=all_type[order],
         mask=all_msk[order],
         norm_scale=all_norm[order],
-        perm_by_src=np.argsort(src_flat[order], kind="stable").astype(np.int32),
-        perm_by_tgt=np.argsort(tgt_flat[order], kind="stable").astype(np.int32),
+        perm_by_src=perm_by_src,
+        perm_by_tgt=perm_by_tgt,
         rcv_rank=rcv_rank,
         tgt_rank=tgt_rank,
+        src_sorted_rank=src_sorted_rank,
+        src_to_rank=src_to_rank,
+        tgt_sorted_rank=tgt_sorted_rank,
+        tgt_to_rank=tgt_to_rank,
     )
 
     return GraphBatch(

@@ -1100,6 +1100,7 @@ class RGAT_Model(SparseGraphModel):
         return {
             "num_heads": self.params["num_heads"],
             "activation_function": self.params["graph_activation_function"],
+            "aggregation_strategy": self.params.get("aggregation_strategy", "auto"),
         }
 
 
@@ -1225,6 +1226,7 @@ class GNN_FiLM_Model(SparseGraphModel):
 
     def layer_kwargs(self):
         return {
+            "aggregation_strategy": self.params.get("aggregation_strategy", "auto"),
             "activation_function": self.params["graph_activation_function"],
             "message_aggregation_function": self.params["message_aggregation_function"],
             "normalize_by_num_incoming": self.params[
