@@ -367,9 +367,13 @@ def gnn_film_apply(
     for _step in range(num_timesteps):
         t = typed_transform(h, params["W"])  # [L, N, D]
         film = typed_transform(h, params["W_film"])  # [L, N, 2D]
-        m = gather_flat_src(_flat(t), graph.flat)
+        # bf16 message stream on the fused path: halves the gather and
+        # kernel stream traffic; the kernel accumulates in f32 and its
+        # VJP upcasts cotangents before the streaming segment-sum.
+        t_flat = _flat(t).astype(jnp.bfloat16) if fused else _flat(t)
+        m = gather_flat_src(t_flat, graph.flat)
         if normalize_by_num_incoming:
-            m = m * graph.flat.norm_scale[:, None]
+            m = m * graph.flat.norm_scale[:, None].astype(m.dtype)
         if fused:
             rank_nodes = fine_rank_to_flat(graph)
             gb_ranked = jnp.take(_flat(film), rank_nodes, axis=0, mode="clip")
@@ -398,6 +402,7 @@ def gnn_film_apply(
                 table = jnp.concatenate(parts, axis=1)
             agg = fine_table_to_nodes(table, graph)
         else:
+            m = m.astype(jnp.float32)
             gb = gather_flat_tgt(_flat(film), graph.flat)  # FiLM from *target*
             gamma, beta = gb[:, :d], gb[:, d:]
             msgs = act(gamma * m + beta)  # activation on messages (film.py:112)
