@@ -44,11 +44,18 @@ from ..ops.edge_ops import (
     fine_rank_to_flat,
     fine_table_to_nodes,
     gather_src,
+    gather_src_stacked,
     gather_tgt,
+    gather_tgt_stacked,
     ranked_aggregation_ok,
     segment_softmax_flat,
 )
 from ..ops.graph import GraphBatch
+from ..ops.typed_stream import (
+    scan_types_aggregate,
+    scan_types_wanted,
+    stack_edges,
+)
 from .activations import get_activation
 from .cells import cell_apply, cell_init
 from .initializers import stacked_glorot_uniform, truncated_normal
@@ -455,6 +462,45 @@ def _typed_mlp_messages(h, weights, graph, concat_target, inner_act):
     return msgs
 
 
+def _scanned_mlp_aggregate(
+    h, weights, graph, concat_target, inner_act, msg_post, aggregation
+):
+    """Per-type edge-MLP stage + aggregation under ONE lax.scan over edge
+    types (ops/typed_stream.py): the XLA graph holds a single copy of the
+    gather/MLP/segment-sum block no matter how many edge types the task
+    has — the compile-time fix for VarMisuse-scale type counts that the
+    flat stream cannot provide for nonlinear per-edge stages.
+
+    msg_post(m, te_l) applies the layer-specific message finalization
+    (activation, 1/c normalization) per type slice.
+    """
+    te = stack_edges(graph)
+    d0 = h.shape[-1]
+    W0 = weights[0]
+    rest = tuple(weights[1:])
+    out_dim = (rest[-1] if rest else W0).shape[-1]
+    if concat_target:
+        xs = (typed_transform(h, W0[:, :d0, :]),
+              typed_transform(h, W0[:, d0:, :])) + rest
+    else:
+        xs = (typed_transform(h, W0),) + rest
+
+    def msgs_fn(xs_l, te_l):
+        if concat_target:
+            m = gather_src_stacked(xs_l[0], te_l) + gather_tgt_stacked(
+                xs_l[1], te_l
+            )
+            ws = xs_l[2:]
+        else:
+            m = gather_src_stacked(xs_l[0], te_l)
+            ws = xs_l[1:]
+        for W in ws:
+            m = jnp.dot(inner_act(m), W, preferred_element_type=jnp.float32)
+        return msg_post(m, te_l)
+
+    return scan_types_aggregate(graph, te, msgs_fn, xs, out_dim, aggregation)
+
+
 def rgin_apply(
     params,
     graph: GraphBatch,
@@ -466,18 +512,28 @@ def rgin_apply(
     use_target_state_as_input=False,
     num_edge_MLP_hidden_layers=1,
     num_aggr_MLP_hidden_layers=None,
+    typed_edge_scan="auto",
     **_,
 ):
     act = get_activation(activation_function)
+    scanned = num_edge_MLP_hidden_layers is not None and scan_types_wanted(
+        graph, typed_edge_scan
+    )
     for _step in range(num_timesteps):
-        if num_edge_MLP_hidden_layers is not None:
+        if scanned:
+            agg = _scanned_mlp_aggregate(
+                h, params["edge_mlp"], graph, use_target_state_as_input,
+                act, lambda m, te_l: act(m), message_aggregation_function,
+            )
+        elif num_edge_MLP_hidden_layers is not None:
             msgs = _typed_mlp_messages(
                 h, params["edge_mlp"], graph, use_target_state_as_input, act
             )
             msgs = [act(m) for m in msgs]  # act on MLP outputs (rgin.py:128-129)
+            agg = aggregate(msgs, graph, message_aggregation_function)
         else:
             msgs = [gather_src(h, e) for e in graph.edges]
-        agg = aggregate(msgs, graph, message_aggregation_function)
+            agg = aggregate(msgs, graph, message_aggregation_function)
         if num_aggr_MLP_hidden_layers is not None:
             from .mlp import mlp_apply
 
@@ -521,21 +577,34 @@ def gnn_edge_mlp_apply(
     normalize_by_num_incoming=False,
     use_target_state_as_input=True,
     num_edge_hidden_layers=1,
+    typed_edge_scan="auto",
     **_,
 ):
     act = get_activation(activation_function)
     elu = get_activation("elu")  # MLP inner activation is fixed elu (·:73-77)
-    for _step in range(num_timesteps):
-        msgs = _typed_mlp_messages(
-            h, params["edge_mlp"], graph, use_target_state_as_input, elu
-        )
+
+    def finalize(m, te_l):
         if normalize_by_num_incoming:
-            msgs = [
-                normalize_by_incoming(m, e)
-                for m, e in zip(msgs, graph.edges)
-            ]
-        msgs = [act(m) for m in msgs]  # activation on messages (·:112)
-        agg = aggregate(msgs, graph, message_aggregation_function)
+            m = m * te_l.norm_scale[:, None]
+        return act(m)  # activation on messages (·:112)
+
+    for _step in range(num_timesteps):
+        if scan_types_wanted(graph, typed_edge_scan):
+            agg = _scanned_mlp_aggregate(
+                h, params["edge_mlp"], graph, use_target_state_as_input,
+                elu, finalize, message_aggregation_function,
+            )
+        else:
+            msgs = _typed_mlp_messages(
+                h, params["edge_mlp"], graph, use_target_state_as_input, elu
+            )
+            if normalize_by_num_incoming:
+                msgs = [
+                    normalize_by_incoming(m, e)
+                    for m, e in zip(msgs, graph.edges)
+                ]
+            msgs = [act(m) for m in msgs]  # activation on messages (·:112)
+            agg = aggregate(msgs, graph, message_aggregation_function)
         h = layer_norm(params["ln"], agg)  # unconditional LN (·:119)
     return h
 
@@ -592,6 +661,7 @@ def rgdcn_apply(
     activation_function="relu",
     message_aggregation_function="sum",
     normalize_by_num_incoming=True,
+    typed_edge_scan="auto",
     **_,
 ):
     n_pad = graph.n_pad
@@ -599,6 +669,45 @@ def rgdcn_apply(
         channel_dim = h.shape[-1] // num_channels
     act = get_activation(activation_function)
     W_wc = params["W_wc"]
+
+    if scan_types_wanted(graph, typed_edge_scan):
+        # lax.scan over edge types: the unrolled path repeats the
+        # kernel/gather/einsum block L x C times (reference pattern,
+        # rgdcn.py:80-113) — at VarMisuse scale (22 types x 8 channels)
+        # that dominates compile time. Here the graph holds C copies.
+        te = stack_edges(graph)
+        for _step in range(num_timesteps):
+            h_chunked = h.reshape(n_pad, num_channels, channel_dim)
+
+            def msgs_fn(W_l, te_l):
+                parts = []
+                for c in range(num_channels):
+                    c_eff = 0 if tie_channel_weights else c
+                    wc_in = (h if use_full_state_for_channel_weights
+                             else h_chunked[:, c])
+                    kernels = act(
+                        jnp.dot(wc_in, W_l[c_eff],
+                                preferred_element_type=jnp.float32)
+                    ).reshape(n_pad, channel_dim, channel_dim)
+                    kern_e = gather_tgt_stacked(kernels, te_l)
+                    src = gather_src_stacked(h_chunked[:, c], te_l)
+                    m = jnp.einsum(
+                        "ek,ekj->ej", src, kern_e,
+                        preferred_element_type=jnp.float32,
+                    )
+                    if normalize_by_num_incoming:
+                        m = m * te_l.norm_scale[:, None]
+                    parts.append(m)
+                return jnp.concatenate(parts, axis=1)
+
+            agg = scan_types_aggregate(
+                graph, te, msgs_fn, W_wc, num_channels * channel_dim,
+                message_aggregation_function,
+            )
+            # act per aggregated channel == act on the channel concat
+            # (elementwise), matching the unrolled path below.
+            h = act(agg)
+        return h
 
     for _step in range(num_timesteps):
         h_chunked = h.reshape(n_pad, num_channels, channel_dim)

@@ -100,6 +100,19 @@ def gather_tgt(table, block: EdgeBlock):
     return _gather_sorted(table, block.receivers)
 
 
+def gather_src_stacked(table, te_l):
+    """table[senders] for one TypedEdges slice (ops/typed_stream.py) —
+    same sorted-scatter VJP as gather_src, usable inside lax.scan."""
+    return _gather_permuted(
+        table, te_l.senders, te_l.perm_by_sender, te_l.senders_sorted
+    )
+
+
+def gather_tgt_stacked(table, te_l):
+    """table[receivers] for one TypedEdges slice; receivers sorted."""
+    return _gather_sorted(table, te_l.receivers)
+
+
 # ---------------------------------------------------------------------------
 # Aggregation over the canonical (receiver-sorted) order
 # ---------------------------------------------------------------------------

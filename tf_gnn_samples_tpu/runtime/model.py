@@ -1132,6 +1132,7 @@ class RGIN_Model(SparseGraphModel):
             "message_aggregation_function": self.params["message_aggregation_function"],
             "use_target_state_as_input": self.params["use_target_state_as_input"],
             "num_edge_MLP_hidden_layers": self.params["graph_num_edge_MLP_hidden_layers"],
+            "typed_edge_scan": self.params.get("typed_edge_scan", "auto"),
             "num_aggr_MLP_hidden_layers": self.params["graph_num_aggr_MLP_hidden_layers"],
         }
 
@@ -1164,6 +1165,7 @@ class GNN_Edge_MLP_Model(SparseGraphModel):
             "message_aggregation_function": self.params["message_aggregation_function"],
             "use_target_state_as_input": self.params["use_target_state_as_input"],
             "num_edge_hidden_layers": self.params["num_edge_hidden_layers"],
+            "typed_edge_scan": self.params.get("typed_edge_scan", "auto"),
         }
 
 
@@ -1201,6 +1203,7 @@ class RGDCN_Model(SparseGraphModel):
                 "use_full_state_for_channel_weights"
             ],
             "tie_channel_weights": self.params["tie_channel_weights"],
+            "typed_edge_scan": self.params.get("typed_edge_scan", "auto"),
             "activation_function": self.params["graph_activation_function"],
             "message_aggregation_function": self.params["message_aggregation_function"],
         }
