@@ -308,3 +308,81 @@ def test_qm9_multi_property_training(tmp_path):
         [{k: np.asarray(v) for k, v in metrics.items()}], int(b.num_graphs)
     )
     assert "0:" in out and "5:" in out
+
+
+def test_varmisuse_streaming_epoch_memory_bounded(tmp_path):
+    """streaming_train_data: full coverage per epoch, bounded sample
+    buffer, disk-cached stats pass, batches equivalent to in-memory."""
+    import os
+    from tf_gnn_samples_tpu.tasks import varmisuse as vm
+
+    root = make_varmisuse_dir(str(tmp_path / "vm"), num_shards=5,
+                              samples_per_shard=8)
+    params = vm.VarMisuse_Task.default_params()
+    params.update({"streaming_train_data": True,
+                   "streaming_window_graphs": 6})
+    task = vm.VarMisuse_Task(params)
+    task.load_data(root)
+    stream = task._loaded_data[DataFold.TRAIN]
+    assert getattr(stream, "is_streaming", False)
+    assert len(stream) == 40
+
+    np.random.seed(0)
+    batches1 = list(task.make_minibatch_iterator(stream, DataFold.TRAIN, 400))
+    total1 = sum(b.num_graphs for b in batches1)
+    assert total1 == 40  # every sample seen exactly once
+    # Bounded buffering: the windowed shuffle never holds more than the
+    # configured window of parsed samples.
+    assert stream.max_buffered <= 6
+
+    batches2 = list(task.make_minibatch_iterator(stream, DataFold.TRAIN, 400))
+    assert sum(b.num_graphs for b in batches2) == 40
+
+    # Stats pass is disk-cached: a fresh stream must not re-scan.
+    cache = os.path.join(root, "graphs-train", ".tpu_stream_stats.json")
+    assert os.path.exists(cache)
+    orig_scan = vm._scan_shard
+    vm._scan_shard = lambda args: (_ for _ in ()).throw(
+        AssertionError("stats cache not used"))
+    try:
+        stream2 = vm.ShardedSampleStream(
+            stream.paths, params["graph_node_label_max_num_chars"],
+            params["max_variable_candidates"],
+            params["add_self_loop_edges"], window_graphs=6,
+        )
+    finally:
+        vm._scan_shard = orig_scan
+    assert len(stream2) == 40
+
+    # Same spec as the in-memory loader (stats parity):
+    params_mem = vm.VarMisuse_Task.default_params()
+    task_mem = vm.VarMisuse_Task(params_mem)
+    task_mem.load_data(root)
+    mem_b = next(iter(task_mem.make_minibatch_iterator(
+        task_mem._loaded_data[DataFold.TRAIN], DataFold.TRAIN, 400)))
+    assert batches1[0].graph.n_pad == mem_b.graph.n_pad
+    assert batches1[0].graph.edges[0].senders.shape == \
+        mem_b.graph.edges[0].senders.shape
+
+
+def test_varmisuse_streaming_trains_end_to_end(tmp_path):
+    from tf_gnn_samples_tpu.tasks.varmisuse import VarMisuse_Task
+    from tf_gnn_samples_tpu.runtime.model import GGNN_Model
+
+    root = make_varmisuse_dir(str(tmp_path / "vm2"), num_shards=3,
+                              samples_per_shard=4)
+    tparams = VarMisuse_Task.default_params()
+    tparams.update({"streaming_train_data": True,
+                    "streaming_window_graphs": 5})
+    task = VarMisuse_Task(tparams)
+    task.load_data(root)
+    params = GGNN_Model.default_params()
+    params.update({"graph_num_layers": 1, "hidden_size": 32,
+                   "max_nodes_in_batch": 400,
+                   # exercised together: the runtime must refuse to pin a
+                   # streamed fold to device memory (and still train).
+                   "cache_batches_on_device": True})
+    model = GGNN_Model(params, task, "t", str(tmp_path / "run"))
+    losses = _short_train(model, task, epochs=2)
+    assert np.isfinite(losses).all()
+    assert model._batch_cache.get(DataFold.TRAIN) is None

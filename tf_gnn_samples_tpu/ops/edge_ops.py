@@ -192,7 +192,10 @@ def _gather_ranked_bwd(block_edges, res, g):
     perm, sorted_rank, to_rank, num_rows, proto = res
     e_tot = perm.shape[0]
     rows = _ceil_mult(min(num_rows + 1, e_tot), 8) + block_edges + 8
-    g_perm = jnp.take(g.astype(jnp.float32), perm, axis=0)
+    # Permute the cotangent in bf16: the ranked segment-sum kernel casts
+    # its stream to bf16 for the MXU one-hot dot regardless, so this is
+    # the same quantization with half the [E, D] permute traffic.
+    g_perm = jnp.take(g.astype(jnp.bfloat16), perm, axis=0)
     rank_table = ranked_segment_sum_table(g_perm, sorted_rank, rows,
                                           block_edges)
     valid = to_rank >= 0

@@ -226,7 +226,13 @@ def _film_bwd_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
         m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
         z = gamma * m + beta
         dz = dact(z) * g  # dL/dz per edge
-        dmsg_ref[pl.ds(s * be, be), :] = gamma * dz
+        # bf16 cotangent stream: the consumers (permute-gather + ranked
+        # segment-sum) cast to bf16 for the MXU anyway, so emitting bf16
+        # here halves the dominant [E, D] backward HBM traffic at zero
+        # additional quantization.
+        dmsg_ref[pl.ds(s * be, be), :] = (gamma * dz).astype(
+            dmsg_ref.dtype
+        )
         dgamma_e = (m * dz).astype(jnp.bfloat16)
         dbeta_e = dz.astype(jnp.bfloat16)
         contrib = jnp.dot(
@@ -424,7 +430,7 @@ def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((e, dim), jnp.float32),
+            jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
             jax.ShapeDtypeStruct((rpad, 2 * dim), jnp.float32),
         ),
         compiler_params=_params(),

@@ -488,6 +488,17 @@ class SparseGraphModel(ABC):
             return self._run_epoch_dp(epoch_name, data, data_fold, replicas)
 
         cache_on_device = self.params.get("cache_batches_on_device", False)
+        if cache_on_device and getattr(data, "is_streaming", False):
+            # A disk-resident streamed fold (tasks/varmisuse.py
+            # ShardedSampleStream) exists precisely because the data does
+            # not fit in one memory — never pin it to HBM.
+            if not getattr(self, "_warned_stream_cache", False):
+                self._warned_stream_cache = True
+                self.log_line(
+                    "WARNING: cache_batches_on_device is ignored for a "
+                    "streamed data fold (streaming_train_data)."
+                )
+            cache_on_device = False
         if data_fold == DataFold.TRAIN:
             # Periodic re-packing of the device-resident TRAIN cache: the
             # reference re-shuffles graphs into fresh packs every epoch

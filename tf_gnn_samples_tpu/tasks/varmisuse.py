@@ -259,6 +259,141 @@ def _load_data(paths: List[str], graph_node_label_max_num_chars: int,
             yield from samples
 
 
+def _scan_shard(args) -> List[List[int]]:
+    """Memory-light stats pass: parse one shard and keep only the per-sample
+    (num_nodes, per-type edge counts, num_unique_labels) triples."""
+    samples = _parse_shard(args)
+    return [
+        [len(s.node_labels_to_unique_labels)]
+        + [int(a.shape[0]) for a in s.adjacency_lists]
+        + [int(s.unique_labels_as_characters.shape[0])]
+        for s in samples
+    ]
+
+
+class ShardedSampleStream:
+    """Disk-resident TRAIN fold for dataset-scale VarMisuse runs.
+
+    The reference (varmisuse_task.py:163-212) materializes the whole fold
+    as an in-RAM list (~15 GB at full dataset scale). This stream instead
+    keeps only shard PATHS plus per-sample size statistics: each epoch
+    re-parses shards lazily in shard-shuffled order and yields samples
+    through a bounded windowed shuffle (the same shard-window design as
+    utils/varmisuse_data_splitter.py), so host memory stays
+    O(window + one shard) regardless of dataset size.
+
+    The one-time stats pass (needed for the fold-constant BatchSpec) is
+    parallel, keeps no sample objects, and is cached on disk next to the
+    shards (.tpu_stream_stats.json, keyed by shard names/sizes and parse
+    params) so later runs skip it.
+    """
+
+    is_streaming = True
+
+    def __init__(self, paths: List[str], max_chars: int, max_cands: int,
+                 self_loops: bool, window_graphs: int = 2000):
+        self.paths = list(paths)
+        self._parse_args = (max_chars, max_cands, self_loops)
+        self.window_graphs = max(int(window_graphs), 1)
+        self.max_buffered = 0  # high-water mark, for tests/telemetry
+        self._stats = self._load_or_scan_stats()
+
+    # ---- stats ----------------------------------------------------------
+
+    def _stats_key(self) -> List:
+        files = [
+            [os.path.basename(p), int(os.path.getsize(p))]
+            for p in self.paths
+        ]
+        return [files, list(self._parse_args)]
+
+    def _cache_path(self) -> str:
+        return os.path.join(
+            os.path.dirname(self.paths[0]), ".tpu_stream_stats.json"
+        )
+
+    def _load_or_scan_stats(self) -> List[List[int]]:
+        cache = self._cache_path()
+        key = self._stats_key()
+        try:
+            with open(cache, "r") as f:
+                saved = json.load(f)
+            if saved.get("key") == key:
+                return saved["sizes"]
+        except (OSError, ValueError, KeyError):
+            pass
+        work = [(p,) + self._parse_args for p in self.paths]
+        sizes: List[List[int]] = []
+        if len(work) <= 1:
+            for w in work:
+                sizes.extend(_scan_shard(w))
+        else:
+            ctx = multiprocessing.get_context("spawn")
+            with ctx.Pool(min(cpu_count(), len(work))) as pool:
+                for part in pool.map(_scan_shard, work):
+                    sizes.extend(part)
+        try:
+            with open(cache, "w") as f:
+                json.dump({"key": key, "sizes": sizes}, f)
+        except OSError:
+            pass  # read-only data dir: re-scan next run
+        return sizes
+
+    def __len__(self) -> int:
+        return len(self._stats)
+
+    def spec_stats(self):
+        """(sizes [(n, e_counts)], uniq_density, max_uniq) for the
+        BatchSpec computation — same statistics the in-memory path scans
+        from loaded samples."""
+        sizes = [(row[0], row[1:-1]) for row in self._stats]
+        uniq_density = 0.0
+        max_uniq = 1
+        for row in self._stats:
+            n = max(row[0], 1)
+            u = row[-1]
+            uniq_density = max(uniq_density, u / n)
+            max_uniq = max(max_uniq, u)
+        return sizes, uniq_density, max_uniq
+
+    # ---- epoch iteration ------------------------------------------------
+
+    def iter_samples(self, shuffle: bool) -> Iterator[GraphSample]:
+        """Windowed-shuffle sample stream: shards are visited in (shuffled)
+        order and parsed lazily; samples leave through a bounded reservoir
+        so the shuffle mixes across neighboring shards without unbounded
+        buffering. Uses np.random so resume checkpoints (which capture the
+        host RNG) reproduce the stream."""
+        from ..utils.iterators import ThreadedIterator
+
+        order = np.arange(len(self.paths))
+        if shuffle:
+            np.random.shuffle(order)
+
+        def parsed():
+            for si in order:
+                yield _parse_shard((self.paths[si],) + self._parse_args)
+
+        shard_iter = ThreadedIterator(parsed(), max_queue_size=1)
+        buf: List[GraphSample] = []
+        try:
+            for shard_samples in shard_iter:
+                for s in shard_samples:
+                    buf.append(s)
+                    if len(buf) > self.max_buffered:
+                        self.max_buffered = len(buf)
+                    if len(buf) >= self.window_graphs:
+                        j = np.random.randint(len(buf)) if shuffle else 0
+                        buf[j], buf[-1] = buf[-1], buf[j]
+                        yield buf.pop()
+        finally:
+            shard_iter.close()
+        if shuffle:
+            np.random.shuffle(buf)
+        for s in buf:
+            yield s
+
+
 class VarMisuse_Task(SparseGraphTask):
     @classmethod
     def default_params(cls):
@@ -273,6 +408,11 @@ class VarMisuse_Task(SparseGraphTask):
             "out_layer_dropout_rate": 0.2,
             "apply_out_layer_dropout": False,  # see module docstring
             "add_self_loop_edges": False,
+            # Dataset-scale mode: keep the TRAIN fold on disk and stream
+            # it through a windowed shuffle each epoch instead of holding
+            # ~15 GB of parsed samples in RAM (ShardedSampleStream).
+            "streaming_train_data": False,
+            "streaming_window_graphs": 2000,
         })
         return params
 
@@ -301,9 +441,24 @@ class VarMisuse_Task(SparseGraphTask):
 
     def load_data(self, path: Optional[str]) -> None:
         path = path or self.default_data_path()
-        self._loaded_data[DataFold.TRAIN] = list(
-            self.__load_data(os.path.join(path, "graphs-train"))
-        )
+        if self.params.get("streaming_train_data"):
+            train_dir = os.path.join(path, "graphs-train")
+            files = self._shard_files(train_dir)
+            print(" Streaming VarMisuse TRAIN data from %s [%i data files]."
+                  % (train_dir, len(files)))
+            self._loaded_data[DataFold.TRAIN] = ShardedSampleStream(
+                files,
+                self.params["graph_node_label_max_num_chars"],
+                self.params["max_variable_candidates"],
+                self.params["add_self_loop_edges"],
+                window_graphs=self.params.get(
+                    "streaming_window_graphs", 2000
+                ),
+            )
+        else:
+            self._loaded_data[DataFold.TRAIN] = list(
+                self.__load_data(os.path.join(path, "graphs-train"))
+            )
         self._loaded_data[DataFold.VALIDATION] = list(
             self.__load_data(os.path.join(path, "graphs-valid"))
         )
@@ -313,7 +468,7 @@ class VarMisuse_Task(SparseGraphTask):
             path = os.path.join(path, "graphs-test")
         return list(self.__load_data(path))
 
-    def __load_data(self, data_dir: str) -> Iterator[GraphSample]:
+    def _shard_files(self, data_dir: str) -> List[str]:
         all_files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
@@ -328,6 +483,10 @@ class VarMisuse_Task(SparseGraphTask):
         max_num_files = self.params.get("max_num_data_files")
         if max_num_files is not None:
             all_files = all_files[:max_num_files]
+        return all_files
+
+    def __load_data(self, data_dir: str) -> Iterator[GraphSample]:
+        all_files = self._shard_files(data_dir)
         print(" Loading VarMisuse data from %s [%i data files]."
               % (data_dir, len(all_files)))
         return _load_data(
@@ -468,57 +627,85 @@ class VarMisuse_Task(SparseGraphTask):
     def make_minibatch_iterator(
         self, data, data_fold: DataFold, max_nodes_per_batch: int
     ) -> Iterator[TaskBatch]:
-        data = list(data)
-        order = np.arange(len(data))
-        if data_fold == DataFold.TRAIN:
-            np.random.shuffle(order)
-
         L = self.num_edge_types
         n_cands = self.params["max_variable_candidates"]
         C = self.params["graph_node_label_max_num_chars"]
+        shuffle = data_fold == DataFold.TRAIN
+        from .base import compute_batch_spec
 
-        # Static spec from dataset stats (nodes, per-type edges, uniques);
-        # fold-constant, so memoized across epochs:
-        def _compute():
-            sizes = []
-            uniq_density = 0.0
-            max_uniq = 1
-            for s in data:
-                n = max(len(s.node_labels_to_unique_labels), 1)
-                sizes.append((n, [a.shape[0] for a in s.adjacency_lists]))
-                u = s.unique_labels_as_characters.shape[0]
-                uniq_density = max(uniq_density, u / n)
-                max_uniq = max(max_uniq, u)
-            from .base import compute_batch_spec
+        streaming = getattr(data, "is_streaming", False)
+        if streaming:
+            # Spec statistics come from the stream's one-time stats pass
+            # (disk-cached); samples arrive through the windowed shuffle.
+            def _compute():
+                sizes, uniq_density, max_uniq = data.spec_stats()
+                spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
+                u_pad = bucket_size(
+                    max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq)
+                )
+                return spec, u_pad
 
-            spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
-            u_pad = bucket_size(
-                max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq)
+            spec, u_pad = self.cached_spec(
+                data, max_nodes_per_batch, _compute
             )
-            return sizes, spec, u_pad
+            sample_iter = data.iter_samples(shuffle=shuffle)
+        else:
+            if not isinstance(data, list):
+                data = list(data)
 
-        sizes, spec, u_pad = self.cached_spec(data, max_nodes_per_batch, _compute)
+            # Static spec from dataset stats (nodes, per-type edges,
+            # uniques); fold-constant, so memoized across epochs:
+            def _compute():
+                sizes = []
+                uniq_density = 0.0
+                max_uniq = 1
+                for s in data:
+                    n = max(len(s.node_labels_to_unique_labels), 1)
+                    sizes.append(
+                        (n, [a.shape[0] for a in s.adjacency_lists])
+                    )
+                    u = s.unique_labels_as_characters.shape[0]
+                    uniq_density = max(uniq_density, u / n)
+                    max_uniq = max(max_uniq, u)
+                spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
+                u_pad = bucket_size(
+                    max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq)
+                )
+                return spec, u_pad
 
-        # Pack under node + unique-label + edge + graph-count budgets:
+            spec, u_pad = self.cached_spec(
+                data, max_nodes_per_batch, _compute
+            )
+            order = np.arange(len(data))
+            if shuffle:
+                np.random.shuffle(order)
+            sample_iter = (data[i] for i in order)
+
+        # Pack under node + unique-label + edge + graph-count budgets,
+        # consuming samples one at a time (works for both the in-memory
+        # list and the bounded stream):
         def batches():
-            cur: List[int] = []
+            cur: List[GraphSample] = []
             cur_nodes = cur_uniq = 0
             cur_edges = np.zeros(L, dtype=np.int64)
-            for idx in order:
-                n, e_counts = sizes[idx]
-                u = data[idx].unique_labels_as_characters.shape[0]
-                e_counts = np.asarray(e_counts, dtype=np.int64)
+            e_pads = np.asarray(spec.e_pads)
+            for s in sample_iter:
+                n = len(s.node_labels_to_unique_labels)
+                u = s.unique_labels_as_characters.shape[0]
+                e_counts = np.array(
+                    [a.shape[0] for a in s.adjacency_lists], dtype=np.int64
+                )
                 fits = (
                     cur_nodes + n < max_nodes_per_batch
                     and cur_uniq + u <= u_pad
                     and len(cur) < spec.g_pad
-                    and bool(np.all(cur_edges + e_counts <= np.asarray(spec.e_pads)))
+                    and bool(np.all(cur_edges + e_counts <= e_pads))
                 )
                 if cur and not fits:
                     yield cur
                     cur, cur_nodes, cur_uniq = [], 0, 0
                     cur_edges = np.zeros_like(cur_edges)
-                cur.append(idx)
+                cur.append(s)
                 cur_nodes += n
                 cur_uniq += u
                 cur_edges += e_counts
@@ -533,8 +720,7 @@ class VarMisuse_Task(SparseGraphTask):
             cand_mask = np.zeros((spec.g_pad, n_cands), np.float32)
             node_offset = uniq_offset = 0
             num_edges = 0
-            for gi, idx in enumerate(pack):
-                s = data[idx]
+            for gi, s in enumerate(pack):
                 n = len(s.node_labels_to_unique_labels)
                 for l in range(L):
                     adj[l].append(s.adjacency_lists[l] + node_offset)
