@@ -457,3 +457,46 @@ def test_repack_cached_every_invalidates_cache(tmp_path):
         task.make_minibatch_iterator = real_iter
     # epochs 1 (initial pack), 3, 5 re-pack under K=2:
     assert sum(packs) == 3, packs
+
+
+def test_dp_epoch_composes_with_device_cache():
+    """num_model_replicas > 1 + cache_batches_on_device: the stacked
+    replica groups are built once, reused across epochs (no re-packing),
+    training still converges, and repack_cached_every invalidates."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    import __graft_entry__ as ge
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=32, n_layers=2, seed=13
+    )
+    model.params["num_model_replicas"] = 2
+    model.params["max_nodes_in_batch"] = 40
+    model.params["cache_batches_on_device"] = True
+
+    calls = {"n": 0}
+    orig_iter = task.make_minibatch_iterator
+
+    def counting_iter(*a, **kw):
+        calls["n"] += 1
+        return orig_iter(*a, **kw)
+
+    task.make_minibatch_iterator = counting_iter
+    losses = []
+    for _ in range(3):
+        loss, metrics, n_graphs, *_ = model._run_epoch(
+            "dp", samples, DataFold.TRAIN, quiet=True
+        )
+        losses.append(loss)
+        assert n_graphs == len(samples)
+    assert calls["n"] == 1  # packed exactly once, then device-cached
+    assert losses[-1] < losses[0], losses
+    assert DataFold.TRAIN in model._dp_group_cache
+
+    # repack_cached_every=2 drops the cache on the right cadence:
+    model.params["repack_cached_every"] = 2
+    model._run_epoch("dp", samples, DataFold.TRAIN, quiet=True)  # epoch 4
+    n_after = calls["n"]
+    model._run_epoch("dp", samples, DataFold.TRAIN, quiet=True)  # epoch 5
+    assert calls["n"] == n_after + 1  # re-packed on the cadence boundary
+    task.make_minibatch_iterator = orig_iter

@@ -162,6 +162,9 @@ class SparseGraphModel(ABC):
         self._gp_steps = None
         self._batch_cache: Dict[Any, List[TaskBatch]] = {}
         self._stacked_cache: Dict[Any, TaskBatch] = {}
+        # Data-parallel device cache: fold -> (stacked replica groups,
+        # fold totals); see _run_epoch_dp.
+        self._dp_group_cache: Dict[Any, Any] = {}
         self._jitted_adj_build = None
         self._dense_adj_cached_gb = 0.0
         self._fold_adj_gb: Dict[Any, float] = {}
@@ -475,16 +478,27 @@ class SparseGraphModel(ABC):
                     "num_model_replicas=%d but only %d devices visible"
                     % (replicas, len(jax.devices()))
                 )
-            if (self.params.get("cache_batches_on_device")
-                    or self.params.get("scan_epochs")) and not getattr(
-                        self, "_warned_dp_cache", False):
+            if self.params.get("scan_epochs") and not getattr(
+                    self, "_warned_dp_cache", False):
                 self._warned_dp_cache = True
                 self.log_line(
-                    "WARNING: cache_batches_on_device/scan_epochs are not "
-                    "yet supported with num_model_replicas > 1; the "
-                    "data-parallel epoch path re-packs and re-uploads "
-                    "batches every epoch."
+                    "WARNING: scan_epochs is not supported with "
+                    "num_model_replicas > 1; running dispatch-per-group "
+                    "epochs (cache_batches_on_device IS honored)."
                 )
+            if data_fold == DataFold.TRAIN:
+                # Same repack-cadence bookkeeping as the single-device
+                # cache path below (reference re-packs per epoch).
+                self._train_epochs_seen += 1
+                repack_every = int(
+                    self.params.get("repack_cached_every") or 0
+                )
+                if (self.params.get("cache_batches_on_device")
+                        and repack_every > 0
+                        and self._train_epochs_seen > 1
+                        and (self._train_epochs_seen - 1) % repack_every
+                        == 0):
+                    self._invalidate_fold_cache(data_fold)
             return self._run_epoch_dp(epoch_name, data, data_fold, replicas)
 
         cache_on_device = self.params.get("cache_batches_on_device", False)
@@ -607,6 +621,7 @@ class SparseGraphModel(ABC):
         adjacencies) so the next epoch re-packs from host data."""
         self._batch_cache.pop(data_fold, None)
         self._stacked_cache.pop(data_fold, None)
+        self._dp_group_cache.pop(data_fold, None)
         self._dense_adj_cached_gb -= self._fold_adj_gb.pop(data_fold, 0.0)
 
     def _empty_like_batch(self, batch: TaskBatch) -> TaskBatch:
@@ -628,7 +643,12 @@ class SparseGraphModel(ABC):
     ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
         """Data-parallel epoch: groups of `replicas` same-shape batches run
         as one shard_map step over the 'dp' mesh; a short final group is
-        padded with zero-weight batches."""
+        padded with zero-weight batches.
+
+        Composes with cache_batches_on_device: the STACKED replica groups
+        are kept device-resident across epochs (group membership frozen
+        like the single-device cache — repack_cached_every re-packs;
+        training reshuffles the group order each epoch)."""
         from ..parallel.data_parallel import (
             make_dp_eval_step,
             make_dp_train_step,
@@ -647,21 +667,11 @@ class SparseGraphModel(ABC):
         processed_graphs = processed_nodes = processed_edges = 0
         device_metric_groups: List[Tuple[Dict[str, Any], List[int]]] = []
 
-        batch_iterator = ThreadedIterator(
-            self.task.make_minibatch_iterator(
-                data, data_fold, self.params["max_nodes_in_batch"]
-            ),
-            max_queue_size=5,
+        cache_on = bool(self.params.get("cache_batches_on_device")) and (
+            not getattr(data, "is_streaming", False)
         )
 
-        def run_group(group: List[TaskBatch]):
-            counts = [int(b.num_graphs) for b in group]
-            while len(group) < replicas:
-                group.append(self._empty_like_batch(group[-1]))
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0),
-                *group,
-            )
+        def run_group_stacked(stacked, counts: List[int]):
             if data_fold == DataFold.TRAIN:
                 rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
                 self.model_params_tree, self.opt_state, metrics = dp_train(
@@ -671,17 +681,54 @@ class SparseGraphModel(ABC):
                 metrics = dp_eval(self.model_params_tree, stacked)
             device_metric_groups.append((metrics, counts))
 
-        group: List[TaskBatch] = []
-        for batch in batch_iterator:
-            processed_graphs += int(batch.num_graphs)
-            processed_nodes += int(batch.num_nodes)
-            processed_edges += int(batch.num_edges)
-            group.append(self._device_batch(batch))
-            if len(group) == replicas:
+        cached = self._dp_group_cache.get(data_fold) if cache_on else None
+        if cached is not None:
+            groups, (processed_graphs, processed_nodes, processed_edges) = \
+                cached
+            order = np.arange(len(groups))
+            if data_fold == DataFold.TRAIN:
+                np.random.shuffle(order)
+            for i in order:
+                run_group_stacked(*groups[i])
+        else:
+            built: List[Tuple[Any, List[int]]] = []
+            batch_iterator = ThreadedIterator(
+                self.task.make_minibatch_iterator(
+                    data, data_fold, self.params["max_nodes_in_batch"]
+                ),
+                max_queue_size=5,
+            )
+
+            def run_group(group: List[TaskBatch]):
+                counts = [int(b.num_graphs) for b in group]
+                while len(group) < replicas:
+                    group.append(self._empty_like_batch(group[-1]))
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(
+                        [jnp.asarray(x) for x in xs], axis=0
+                    ),
+                    *group,
+                )
+                if cache_on:
+                    built.append((stacked, counts))
+                run_group_stacked(stacked, counts)
+
+            group: List[TaskBatch] = []
+            for batch in batch_iterator:
+                processed_graphs += int(batch.num_graphs)
+                processed_nodes += int(batch.num_nodes)
+                processed_edges += int(batch.num_edges)
+                group.append(self._device_batch(batch))
+                if len(group) == replicas:
+                    run_group(group)
+                    group = []
+            if group:
                 run_group(group)
-                group = []
-        if group:
-            run_group(group)
+            if cache_on:
+                self._dp_group_cache[data_fold] = (
+                    built,
+                    (processed_graphs, processed_nodes, processed_edges),
+                )
 
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
         task_metric_results: List[Dict[str, Any]] = []
