@@ -393,7 +393,10 @@ class SparseGraphModel(ABC):
         print(msg)
 
     def _wants_dense_adj(self, graph) -> bool:
-        if self.layer_name not in ("rgcn", "ggnn"):
+        # rgdcn qualifies through the aggregate-first restructure: its
+        # per-type neighbor sums ride the same A_l matmuls (nn/layers.py
+        # _typed_neighbor_sums).
+        if self.layer_name not in ("rgcn", "ggnn", "rgdcn"):
             return False
         from ..nn.layers import use_dense_strategy
 
@@ -1262,6 +1265,9 @@ class RGDCN_Model(SparseGraphModel):
             ],
             "tie_channel_weights": self.params["tie_channel_weights"],
             "typed_edge_scan": self.params.get("typed_edge_scan", "auto"),
+            "aggregation_strategy": self.params.get(
+                "aggregation_strategy", "auto"
+            ),
             "activation_function": self.params["graph_activation_function"],
             "message_aggregation_function": self.params["message_aggregation_function"],
         }
