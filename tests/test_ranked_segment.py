@@ -202,6 +202,42 @@ def test_film_layer_fused_matches_segment_path():
                                    rtol=8e-2, atol=8e-1)
 
 
+def test_rgat_layer_streamed_matches_segment_path():
+    """The 2-D bf16 streamed RGAT path (fine-rank expanded target logits,
+    head-replicated attention lanes) must match the per-head segment path
+    in outputs and gradients."""
+    from tf_gnn_samples_tpu.nn.layers import rgat_apply, rgat_init
+
+    rng = np.random.RandomState(12)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = rgat_init(jax.random.PRNGKey(5), 2, d, num_heads=4)
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+
+    out_seg = rgat_apply(params, graph, h, num_heads=4,
+                         aggregation_strategy="segment")
+    out_str = rgat_apply(params, graph, h, num_heads=4,
+                         aggregation_strategy="pallas")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_str)[real],
+                               np.asarray(out_seg)[real],
+                               rtol=5e-2, atol=5e-2)
+
+    def loss(strategy):
+        def f(p, hh):
+            out = rgat_apply(p, graph, hh, num_heads=4,
+                             aggregation_strategy=strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_seg = jax.grad(loss("segment"), argnums=(0, 1))(params, h)
+    g_str = jax.grad(loss("pallas"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_seg),
+                    jax.tree_util.tree_leaves(g_str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)
+
+
 def test_rgcn_layer_ranked_matches_segment_path():
     from tf_gnn_samples_tpu.nn.layers import rgcn_apply, rgcn_init
 

@@ -49,7 +49,9 @@ from ..ops.edge_ops import (
     gather_tgt,
     gather_tgt_stacked,
     ranked_aggregation_ok,
+    ranked_table_to_nodes,
     segment_softmax_flat,
+    segment_softmax_flat_ranked,
 )
 from ..ops.graph import GraphBatch
 from ..ops.typed_stream import (
@@ -301,13 +303,73 @@ def rgat_apply(
     att = params["att"].reshape(L, num_heads, 2 * head_dim)
     att_src, att_tgt = att[..., :head_dim], att[..., head_dim:]
 
+    from ..ops import ranked_segment as rs
+
+    # Streamed layout (TPU shapes): the per-edge work runs on 2-D bf16
+    # [E, D] streams instead of [E, K, Dh] f32 — the 3-D layout pads the
+    # Dh lane dim and doubles the dominant gather traffic. XLA's [E, K]
+    # gathers and segment max/sum lane-pad K to 128 (a 32x traffic
+    # amplification at K=4), so every narrow per-edge quantity is built
+    # without them: the source logit half rides the already-gathered
+    # message stream through one [D, L*K] MXU matmul + a type one-hot
+    # contraction; the target half is constant per (receiver, type) group
+    # and expands from a FINE rank table; the softmax uses dense ranked
+    # segment kernels with clamped exp; and the attention multiply fuses
+    # into the aggregation kernel (per-head weights replicate in VMEM).
+    streamed = (
+        aggregation_strategy in ("auto", "pallas")
+        and state_dim % num_heads == 0
+        and ranked_aggregation_ok(graph, "sum", 1, state_dim)
+    )
+
     for _step in range(num_timesteps):
         t = typed_transform(h, params["W"])  # [L, N, D]
         t_heads = t.reshape(L, n_pad, num_heads, head_dim)
         # Node-side halves of the attention logits (linearity of the dot
         # with concat(src, tgt) makes this exact):
-        logit_src = jnp.einsum("lnkd,lkd->lnk", t_heads, att_src)
         logit_tgt = jnp.einsum("lnkd,lkd->lnk", t_heads, att_tgt)
+
+        if streamed:
+            m2 = gather_flat_src(
+                _flat(t).astype(jnp.bfloat16), graph.flat
+            )  # [E_tot, D]
+            # a_all[k*Dh + d, l*K + q] = att_src[l, k, d] if k == q else 0:
+            # the head-block-diagonal stack of every type's source
+            # attention vector, so m2 @ a_all yields all types' src logits
+            # in one MXU pass over the (sequentially-read) message stream.
+            a_all = jnp.einsum(
+                "lkd,kq->kdlq", att_src,
+                jnp.eye(num_heads, dtype=att_src.dtype),
+            ).reshape(state_dim, L * num_heads)
+            logits_all = jax.lax.dot(
+                m2, a_all.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).reshape(-1, L, num_heads)
+            type_oh = jax.nn.one_hot(
+                graph.flat.edge_type, L, dtype=jnp.float32
+            )
+            lsrc = jnp.einsum("elk,el->ek", logits_all, type_oh)
+
+            rank_nodes = fine_rank_to_flat(graph)
+            lt_ranked = jnp.take(
+                _flat(logit_tgt), rank_nodes, axis=0, mode="clip"
+            )
+            ltgt = rs.ranked_expand_table(
+                lt_ranked, graph.flat.tgt_rank, lt_ranked.shape[0]
+            )
+            logits = jax.nn.leaky_relu(
+                lsrc + ltgt,
+                negative_slope=0.2,  # tf.nn.leaky_relu default (rgat.py:113)
+            )  # [E_tot, K] f32
+            attn = segment_softmax_flat_ranked(logits, graph)
+            table = rs.ranked_weighted_segment_sum(
+                m2, attn, graph.flat.rcv_rank,
+                rs.rank_table_rows(n_pad, 256), num_heads,
+            )
+            h = act(ranked_table_to_nodes(table, graph))
+            continue
+
+        logit_src = jnp.einsum("lnkd,lkd->lnk", t_heads, att_src)
 
         # Per-edge logits and messages over the flat stream (one gather
         # each, regardless of the number of edge types):

@@ -391,6 +391,30 @@ def segment_softmax_flat(logits, flat, n_pad: int):
     return ex / (gather_node_tgt(denom, flat) + small)
 
 
+def segment_softmax_flat_ranked(logits, graph, clamp: float = 50.0,
+                                block_edges: int = 256):
+    """Receiver-segment softmax over the flat stream via the streaming
+    rank-table kernels, replacing XLA's lane-padded [E, K] segment max/sum
+    scatters with dense [E, K] passes.
+
+    Uses clamped exp instead of a max shift: softmax is shift-invariant,
+    and clamping |logit| at 50 only distorts segments whose logit SPREAD
+    exceeds 50 (attention weights < e^-50 are zero either way). When every
+    logit of a segment clamps low, the weights still normalize to the
+    uniform distribution. Padded edges get weight 0 via the stream mask."""
+    from .ranked_segment import (ranked_expand_table,
+                                 ranked_segment_sum_table, rank_table_rows)
+
+    flat = graph.flat
+    mask = flat.mask.reshape(flat.mask.shape + (1,) * (logits.ndim - 1))
+    ex = jnp.exp(jnp.clip(logits, -clamp, clamp)) * mask
+    rows = rank_table_rows(graph.n_pad, block_edges)
+    den = ranked_segment_sum_table(ex, flat.rcv_rank, rows, block_edges)
+    small = 1e-7  # SMALL_NUMBER
+    return ex / (ranked_expand_table(den, flat.rcv_rank, rows, block_edges)
+                 + small)
+
+
 def dense_adjacency(graph, dtype=jnp.float32):
     """Materialize per-type dense adjacency matrices A_l [n_pad, n_pad] with
     A_l[v, u] = (number of type-l edges u->v). Built on device by a scalar

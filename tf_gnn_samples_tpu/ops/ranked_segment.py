@@ -182,6 +182,66 @@ def _expand_kernel(start_ref, rank_ref, table_ref, out_ref, *, be, rl, sub):
         )
 
 
+def _head_replicate_matrix(k: int, d: int):
+    """R[q, j] = 1 iff lane j belongs to head q (head-major D layout):
+    w_rep = w @ R replicates per-head scalars over their d/k lanes, and
+    x @ R.T sums lanes per head — both tiny MXU ops, avoiding unaligned
+    lane slices (d/k is rarely a multiple of 128)."""
+    dh = d // k
+    head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (k, d), 1) // dh
+    head_q = jax.lax.broadcasted_iota(jnp.int32, (k, d), 0)
+    return (head_of_lane == head_q).astype(jnp.float32)
+
+
+def _wseg_kernel(start_ref, rank_ref, msg_ref, w_ref, out_ref,
+                 *, be, rl, sub, d, k):
+    """Weighted segment-sum: out[r] += sum_e w_rep[e] * msgs[e] where the
+    per-head weights w [BE, K] broadcast over each head's d/K lanes. The
+    head replicate happens in VMEM ([BE, K] @ [K, D] on the MXU), so the
+    weighted [E, D] stream is never materialized in HBM."""
+    c = pl.program_id(0)
+    rep = _head_replicate_matrix(k, d)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        w_rep = jnp.dot(w_ref[pl.ds(s * be, be), :], rep,
+                        preferred_element_type=jnp.float32)
+        wm = (m * w_rep).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, wm, preferred_element_type=jnp.float32)
+        cur = out_ref[pl.ds(start, rl), :]
+        out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _wseg_bwd_kernel(start_ref, rank_ref, msg_ref, w_ref, g_ref,
+                     dmsg_ref, dw_ref, *, be, rl, sub, d, k):
+    """Streaming VJP of the weighted segment-sum: per-edge cotangents are
+    expanded from the (bf16) gradient table; no RMW accumulation — both
+    outputs are edge streams, so sub-blocks are independent."""
+    c = pl.program_id(0)
+    rep = _head_replicate_matrix(k, d)
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        g_e = jnp.dot(
+            oh_t, g_ref[pl.ds(start, rl), :],
+            preferred_element_type=jnp.float32,
+        )  # [BE, D]
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        w_rep = jnp.dot(w_ref[pl.ds(s * be, be), :], rep,
+                        preferred_element_type=jnp.float32)
+        dmsg_ref[pl.ds(s * be, be), :] = (g_e * w_rep).astype(dmsg_ref.dtype)
+        dw_ref[pl.ds(s * be, be), :] = jax.lax.dot_general(
+            m * g_e, rep, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _film_fwd_kernel(start_ref, rank_ref, msg_ref, gb_ref, out_ref,
                      *, be, rl, sub, d, act):
     c = pl.program_id(0)
@@ -360,6 +420,100 @@ def _expand_bwd(table_rows, block_edges, res, g):
 
 
 ranked_expand_table.defvjp(_expand_fwd, _expand_bwd)
+
+
+# ---- fused per-head weighted segment-sum (RGAT aggregation) ---------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("table_rows", "num_heads", "block_edges"))
+def _wseg_impl(msgs, w, ranks, *, table_rows, num_heads, block_edges):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_wseg_kernel, be=be, rl=rl, sub=sub, d=dim,
+                             k=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, num_heads), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, w)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_edges"))
+def _wseg_bwd_impl(msgs, w, g16, ranks, *, num_heads, block_edges):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_wseg_bwd_kernel, be=be, rl=rl, sub=sub, d=dim,
+                             k=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, num_heads), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bf16 g table resident
+        ],
+        out_specs=(
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, num_heads), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((e, num_heads), jnp.float32),
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, w, g16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ranked_weighted_segment_sum(msgs, w, ranks, table_rows: int,
+                                num_heads: int, block_edges: int = 256):
+    """Per-head weighted segment-sum: table[r] = sum_{e: rank(e)==r}
+    rep(w[e]) * msgs[e], with w [E, K] replicated over each head's D/K
+    lanes (head-major D layout, matching t.reshape(..., K, D/K)).
+
+    Fuses RGAT's attention-weight multiply into the aggregation so the
+    weighted [E, D] stream never round-trips HBM. VJP is a mirrored
+    streaming kernel: d_msgs[e] = rep(w[e]) * g[rank_e] (bf16) and
+    d_w[e, k] = sum_d msgs[e, kd] * g[rank_e, kd]."""
+    return _wseg_impl(msgs, w, ranks, table_rows=table_rows,
+                      num_heads=num_heads, block_edges=block_edges)
+
+
+def _wseg_vjp_fwd(msgs, w, ranks, table_rows, num_heads, block_edges):
+    out = _wseg_impl(msgs, w, ranks, table_rows=table_rows,
+                     num_heads=num_heads, block_edges=block_edges)
+    return out, (msgs, w, ranks)
+
+
+def _wseg_vjp_bwd(table_rows, num_heads, block_edges, res, g):
+    msgs, w, ranks = res
+    d_msgs, d_w = _wseg_bwd_impl(msgs, w, g.astype(jnp.bfloat16), ranks,
+                                 num_heads=num_heads, block_edges=block_edges)
+    return (d_msgs.astype(msgs.dtype), d_w.astype(w.dtype), None)
+
+
+ranked_weighted_segment_sum.defvjp(_wseg_vjp_fwd, _wseg_vjp_bwd)
 
 
 # ---- fused FiLM modulate-activate-aggregate --------------------------------
