@@ -269,7 +269,9 @@ def test_film_layer_column_split_matches(monkeypatch):
 
     e_tot = graph.flat.tgt_rank.shape[0]
     rows = rs.fine_rank_table_rows(graph.n_pad, 2, e_tot, 256)
-    monkeypatch.setattr(rs, "_VMEM_BUDGET", 15 * 1024 * 1024)
+    # Small enough to force a split under the bf16 double-buffered stream
+    # model (film_ranked_supported).
+    monkeypatch.setattr(rs, "_VMEM_BUDGET", 4 * 1024 * 1024)
     assert rs.film_column_splits(e_tot, d, rows) in (2, 4)
     out_split = gnn_film_apply(params, graph, h, activation_function="relu",
                                aggregation_strategy="pallas")
@@ -307,3 +309,52 @@ def test_ranked_gather_vjp_matches_legacy():
     g_l = jax.grad(loss_legacy)(table)
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_l),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_windowed_kernels_match_xla():
+    """`win` (host-measured sub-block rank-window bound, ops/graph.py
+    rank_window) shrinks the kernels' one-hot height; results must match
+    the full-window kernels and the XLA oracle for any win >= the true
+    span."""
+    from tf_gnn_samples_tpu.ops.graph import rank_window
+
+    rng = np.random.RandomState(21)
+    e_tot, n_real, n_pad, d = 4096, 120, 128, 64
+    # Dense stream: ~34 edges per receiver -> small per-sub-block spans.
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    win = rank_window(rank)
+    assert win in (16, 32, 64, 128)
+    msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
+    rows = rs.rank_table_rows(n_pad, 256)
+    ranks_j = jnp.asarray(rank)
+    ref = rs.xla_segment_sum_table(msgs, ranks_j, rows, 256)
+    for w in {win, 128}:
+        out = rs.ranked_segment_sum_table(msgs, ranks_j, rows, 256, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-1)
+    # expand (and its role as the segsum VJP):
+    table = jnp.asarray(rng.randn(rows, d).astype(np.float32))
+    exp_ref = rs.xla_expand_table(table, ranks_j, rows, 256)
+    exp_win = rs.ranked_expand_table(table, ranks_j, rows, 256, win)
+    np.testing.assert_allclose(np.asarray(exp_win), np.asarray(exp_ref),
+                               rtol=2e-2, atol=2e-1)
+    # fused FiLM with window:
+    gb = jnp.asarray(rng.randn(rows, 2 * d).astype(np.float32))
+    film_ref = rs.xla_film_aggregate(
+        msgs.astype(jnp.bfloat16), gb.astype(jnp.bfloat16), ranks_j, "relu")
+    film_win = rs.film_ranked_aggregate(
+        msgs.astype(jnp.bfloat16), gb, ranks_j, "relu", 256, win)
+    np.testing.assert_allclose(np.asarray(film_win), np.asarray(film_ref),
+                               rtol=5e-2, atol=5e-1)
+
+
+def test_rank_window_measures_spans():
+    from tf_gnn_samples_tpu.ops.graph import rank_window
+
+    # One rank per edge (worst case): span == block -> no useful window.
+    assert rank_window(np.arange(2048, dtype=np.int32)) == 0
+    # Constant rank: minimal window.
+    assert rank_window(np.zeros(2048, dtype=np.int32)) == 16
+    # ~20 edges per rank: span ~13 + alignment -> 32 bucket.
+    r = np.repeat(np.arange(128, dtype=np.int32), 20)[:2048]
+    assert rank_window(r) in (16, 32)

@@ -53,7 +53,7 @@ from ..ops.edge_ops import (
     segment_softmax_flat,
     segment_softmax_flat_ranked,
 )
-from ..ops.graph import GraphBatch
+from ..ops.graph import GraphBatch, token_window
 from ..ops.typed_stream import (
     scan_types_aggregate,
     scan_types_wanted,
@@ -354,8 +354,9 @@ def rgat_apply(
             lt_ranked = jnp.take(
                 _flat(logit_tgt), rank_nodes, axis=0, mode="clip"
             )
+            win = token_window(graph.flat.win_fine)
             ltgt = rs.ranked_expand_table(
-                lt_ranked, graph.flat.tgt_rank, lt_ranked.shape[0]
+                lt_ranked, graph.flat.tgt_rank, lt_ranked.shape[0], 256, win
             )
             logits = jax.nn.leaky_relu(
                 lsrc + ltgt,
@@ -364,7 +365,7 @@ def rgat_apply(
             attn = segment_softmax_flat_ranked(logits, graph)
             table = rs.ranked_weighted_segment_sum(
                 m2, attn, graph.flat.rcv_rank,
-                rs.rank_table_rows(n_pad, 256), num_heads,
+                rs.rank_table_rows(n_pad, 256), num_heads, 256, win,
             )
             h = act(ranked_table_to_nodes(table, graph))
             continue
@@ -448,12 +449,13 @@ def gnn_film_apply(
             rank_nodes = fine_rank_to_flat(graph)
             gb_ranked = jnp.take(_flat(film), rank_nodes, axis=0, mode="clip")
             act_name = activation_function.lower()
+            win = token_window(graph.flat.win_fine)
             splits = rs.film_column_splits(
                 m.shape[0], d, gb_ranked.shape[0]
             )
             if splits == 1:
                 table = rs.film_ranked_aggregate(
-                    m, gb_ranked, graph.flat.tgt_rank, act_name
+                    m, gb_ranked, graph.flat.tgt_rank, act_name, 256, win
                 )
             else:
                 # Column-split the elementwise-in-d modulation so the
@@ -467,7 +469,8 @@ def gnn_film_apply(
                         axis=1,
                     )
                     parts.append(rs.film_ranked_aggregate(
-                        m[:, cols], gb_i, graph.flat.tgt_rank, act_name
+                        m[:, cols], gb_i, graph.flat.tgt_rank, act_name,
+                        256, win
                     ))
                 table = jnp.concatenate(parts, axis=1)
             agg = fine_table_to_nodes(table, graph)

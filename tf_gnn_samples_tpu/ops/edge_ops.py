@@ -169,8 +169,9 @@ def aggregate_blocks(per_type_messages, graph, aggregation: str):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _gather_ranked(table, idx, perm, sorted_rank, to_rank, block_edges):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gather_ranked(table, idx, perm, sorted_rank, to_rank, block_edges,
+                   win=0):
     """table[idx] whose VJP runs the scatter THROUGH the streaming
     rank-table kernel: segment-sum the permuted cotangent by the
     host-precomputed gap-free ranks of the sorted index stream, then map
@@ -179,14 +180,15 @@ def _gather_ranked(table, idx, perm, sorted_rank, to_rank, block_edges):
     return jnp.take(table, idx, axis=0, mode="clip")
 
 
-def _gather_ranked_fwd(table, idx, perm, sorted_rank, to_rank, block_edges):
+def _gather_ranked_fwd(table, idx, perm, sorted_rank, to_rank, block_edges,
+                       win):
     out = jnp.take(table, idx, axis=0, mode="clip")
     res = (perm, sorted_rank, to_rank, table.shape[0],
            jnp.zeros((0,), table.dtype))
     return out, res
 
 
-def _gather_ranked_bwd(block_edges, res, g):
+def _gather_ranked_bwd(block_edges, win, res, g):
     from .ranked_segment import _ceil_mult, ranked_segment_sum_table
 
     perm, sorted_rank, to_rank, num_rows, proto = res
@@ -194,10 +196,15 @@ def _gather_ranked_bwd(block_edges, res, g):
     rows = _ceil_mult(min(num_rows + 1, e_tot), 8) + block_edges + 8
     # Permute the cotangent in bf16: the ranked segment-sum kernel casts
     # its stream to bf16 for the MXU one-hot dot regardless, so this is
-    # the same quantization with half the [E, D] permute traffic.
-    g_perm = jnp.take(g.astype(jnp.bfloat16), perm, axis=0)
+    # the same quantization with half the [E, D] permute traffic. perm is
+    # a permutation (always in bounds) — mode="clip" avoids XLA's fill
+    # lowering, which materializes an extra [E, D] select. (An int32
+    # lane-pair bitcast to shrink the gather's tile span was measured
+    # SLOWER: the [E, D] -> [E, D/2, 2] reshape is a physical relayout
+    # costing more than the tile-amplification it saves.)
+    g_perm = jnp.take(g.astype(jnp.bfloat16), perm, axis=0, mode="clip")
     rank_table = ranked_segment_sum_table(g_perm, sorted_rank, rows,
-                                          block_edges)
+                                          block_edges, win)
     valid = to_rank >= 0
     d_table = jnp.take(rank_table, jnp.maximum(to_rank, 0), axis=0)
     d_table = jnp.where(valid[:, None], d_table, 0.0).astype(proto.dtype)
@@ -227,10 +234,12 @@ def gather_flat_src(table_flat, flat):
     type-stacked node table; bwd is a streaming ranked segment-sum when
     the shape qualifies, else a sorted XLA segment-sum via perm_by_src."""
     if _ranked_gather_ok(table_flat, flat, "src_sorted_rank"):
+        from .graph import token_window
         tail = table_flat.shape[1:]
         out = _gather_ranked(
             table_flat.reshape(table_flat.shape[0], -1), flat.src_flat,
             flat.perm_by_src, flat.src_sorted_rank, flat.src_to_rank, 256,
+            token_window(flat.win_src),
         )
         return out.reshape((flat.src_flat.shape[0],) + tail)
     idx_sorted = jnp.take(flat.src_flat, flat.perm_by_src)
@@ -241,10 +250,12 @@ def gather_flat_tgt(table_flat, flat):
     """table_flat[[L*N, ...]][tgt_flat]; bwd streaming-ranked when the
     shape qualifies, else sorted via perm_by_tgt."""
     if _ranked_gather_ok(table_flat, flat, "tgt_sorted_rank"):
+        from .graph import token_window
         tail = table_flat.shape[1:]
         out = _gather_ranked(
             table_flat.reshape(table_flat.shape[0], -1), flat.tgt_flat,
             flat.perm_by_tgt, flat.tgt_sorted_rank, flat.tgt_to_rank, 256,
+            token_window(flat.win_tgt),
         )
         return out.reshape((flat.tgt_flat.shape[0],) + tail)
     idx_sorted = jnp.take(flat.tgt_flat, flat.perm_by_tgt)
@@ -285,12 +296,15 @@ def aggregate_flat(messages, flat, n_pad: int, aggregation: str):
 
 def fine_rank_to_flat(graph):
     """Fine-rank-indexed type-stacked node index: rank_nodes[r] = tgt_flat
-    of the edges in (receiver, type) group r. Derived in-jit; slack rows
-    read row 0 downstream (harmless: their table rows are never combined
-    into real nodes)."""
+    of the edges in (receiver, type) group r. Host-precomputed on padded
+    batches (ops/graph.py FlatEdges.fine_to_flat); the in-jit fallback is
+    an [E]-sized scatter. Slack rows read row 0 downstream (harmless:
+    their table rows are never combined into real nodes)."""
     from .ranked_segment import fine_rank_table_rows
 
     flat = graph.flat
+    if getattr(flat, "fine_to_flat", None) is not None:
+        return flat.fine_to_flat
     n_pad, L = graph.n_pad, graph.num_edge_types
     rpad = fine_rank_table_rows(n_pad, L, flat.tgt_rank.shape[0], 256)
     return jnp.zeros((rpad,), jnp.int32).at[flat.tgt_rank].set(
@@ -300,10 +314,13 @@ def fine_rank_to_flat(graph):
 
 def fine_rank_to_receiver(graph):
     """Receiver node id per fine rank (nondecreasing; slack rows -> dump
-    row n_pad so sorted segment ops stay valid)."""
+    row n_pad so sorted segment ops stay valid). Host-precomputed when
+    available (FlatEdges.fine_to_rcv)."""
     from .ranked_segment import fine_rank_table_rows
 
     flat = graph.flat
+    if getattr(flat, "fine_to_rcv", None) is not None:
+        return flat.fine_to_rcv
     rpad = fine_rank_table_rows(
         graph.n_pad, graph.num_edge_types, flat.tgt_rank.shape[0], 256
     )
@@ -334,11 +351,13 @@ def aggregate_flat_ranked(messages, graph, aggregation: str,
     ranked_supported."""
     from .ranked_segment import rank_table_rows, ranked_segment_sum_table
 
+    from .graph import token_window
+
     n_pad = graph.n_pad
     msgs2d = messages.reshape(messages.shape[0], -1)
     table = ranked_segment_sum_table(
         msgs2d, graph.flat.rcv_rank, rank_table_rows(n_pad, block_edges),
-        block_edges,
+        block_edges, token_window(graph.flat.win_fine),
     )
     out = ranked_table_to_nodes(table, graph).reshape(
         (n_pad,) + messages.shape[1:]
@@ -402,16 +421,19 @@ def segment_softmax_flat_ranked(logits, graph, clamp: float = 50.0,
     exceeds 50 (attention weights < e^-50 are zero either way). When every
     logit of a segment clamps low, the weights still normalize to the
     uniform distribution. Padded edges get weight 0 via the stream mask."""
+    from .graph import token_window
     from .ranked_segment import (ranked_expand_table,
                                  ranked_segment_sum_table, rank_table_rows)
 
     flat = graph.flat
+    win = token_window(flat.win_fine)
     mask = flat.mask.reshape(flat.mask.shape + (1,) * (logits.ndim - 1))
     ex = jnp.exp(jnp.clip(logits, -clamp, clamp)) * mask
     rows = rank_table_rows(graph.n_pad, block_edges)
-    den = ranked_segment_sum_table(ex, flat.rcv_rank, rows, block_edges)
+    den = ranked_segment_sum_table(ex, flat.rcv_rank, rows, block_edges, win)
     small = 1e-7  # SMALL_NUMBER
-    return ex / (ranked_expand_table(den, flat.rcv_rank, rows, block_edges)
+    return ex / (ranked_expand_table(den, flat.rcv_rank, rows, block_edges,
+                                     win)
                  + small)
 
 

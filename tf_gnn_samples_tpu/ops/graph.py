@@ -93,6 +93,24 @@ class FlatEdges(NamedTuple):
     src_to_rank: jnp.ndarray = None  # [L * n_pad] int32
     tgt_sorted_rank: jnp.ndarray = None  # [E_tot] int32 (by perm_by_tgt)
     tgt_to_rank: jnp.ndarray = None  # [L * n_pad] int32
+    # Shape-encoded static rank-window bounds for the streaming kernels
+    # (ops/ranked_segment.py `win`): tiny zero arrays whose LENGTH is the
+    # host-measured max aligned rank span of any 256-edge sub-block,
+    # bucketed to powers of two (shape-stable across batches of a fold).
+    # Length 1 = no useful window (kernels fall back to BE + 8). Encoding
+    # the bound in a shape keeps it jit-static while riding the pytree.
+    # win_fine covers tgt_rank AND rcv_rank (coarse spans are <= fine);
+    # win_src / win_tgt cover the permuted-stream ranks (gather VJPs).
+    win_fine: jnp.ndarray = None  # [W] uint8 zeros
+    win_src: jnp.ndarray = None  # [W] uint8 zeros
+    win_tgt: jnp.ndarray = None  # [W] uint8 zeros
+    # Host-precomputed fine-rank maps (edge_ops.fine_rank_to_flat /
+    # fine_rank_to_receiver): computing them in-jit is an [E]-sized
+    # scatter per use (~2 ms at PPI scale) for values that are static per
+    # batch. Slack rows: fine_to_flat -> 0-safe clip, fine_to_rcv -> dump
+    # row n_pad.
+    fine_to_flat: jnp.ndarray = None  # [RPAD] int32
+    fine_to_rcv: jnp.ndarray = None  # [RPAD] int32
 
 
 class GraphBatch(NamedTuple):
@@ -131,6 +149,70 @@ class GraphBatch(NamedTuple):
     @property
     def num_edge_types(self) -> int:
         return len(self.edges)
+
+
+def rank_window(ranks: np.ndarray, block: int = 256) -> int:
+    """Max aligned rank span of any `block`-edge sub-block, bucketed.
+
+    The streaming kernels (ops/ranked_segment.py) process the stream in
+    `block`-edge sub-blocks and build one-hot matrices of height `win`
+    against the window [first_rank & ~7, first_rank & ~7 + win). This
+    measures the smallest safe `win` for gap-free nondecreasing `ranks`
+    and rounds it to a power of two in [16, 128] so batches of a fold
+    share compiled shapes; spans beyond 128 return 0 (no useful window —
+    kernels use the data-independent bound block + 8)."""
+    e = int(ranks.shape[0])
+    if e == 0:
+        return 16
+    span = 0
+    for s in range(0, e, block):
+        blk = ranks[s:s + block]
+        span = max(span, int(blk[-1]) - (int(blk[0]) & ~7) + 1)
+    for cand in (16, 32, 64, 128):
+        if span <= cand:
+            return cand
+    return 0
+
+
+def _win_token(win: int) -> np.ndarray:
+    return np.zeros((win if win else 1,), dtype=np.uint8)
+
+
+def _merge_windows(a: int, b: int) -> int:
+    """Combine two window bounds: 0 (no window) dominates."""
+    return max(a, b) if (a and b) else 0
+
+
+def unify_flat_windows(flats: Sequence["FlatEdges"]):
+    """Common win_* tokens for a set of FlatEdges that must share one
+    pytree shape (stacked epochs / data-parallel groups). Enlarging a
+    window is always safe for the streaming kernels; if any stream has no
+    useful window (length-1 token), all fall back together. Returns the
+    input list when tokens are absent or already uniform."""
+    if not flats or getattr(flats[0], "win_fine", None) is None:
+        return list(flats)
+
+    def merged(field) -> np.ndarray:
+        toks = [getattr(f, field) for f in flats]
+        if any(t is None or int(t.shape[0]) < 16 for t in toks):
+            return _win_token(0)
+        return _win_token(max(int(t.shape[0]) for t in toks))
+
+    new = {f: merged(f) for f in ("win_fine", "win_src", "win_tgt")}
+    if all(
+        getattr(f, k) is not None and getattr(f, k).shape == v.shape
+        for f in flats for k, v in new.items()
+    ):
+        return list(flats)
+    return [f._replace(**new) for f in flats]
+
+
+def token_window(token) -> int:
+    """Decode a shape-encoded window token (None / length-1 => 0)."""
+    if token is None:
+        return 0
+    w = int(token.shape[0])
+    return w if w >= 16 else 0
 
 
 def bucket_size(n: int, min_size: int = 128, buckets_per_octave: int = 4) -> int:
@@ -283,6 +365,19 @@ def pad_graph_batch(
         tgt_in_stream[perm_by_tgt], L * n_pad
     )
 
+    # Fine-rank maps, precomputed so the jit path never scatters them
+    # (mirrors edge_ops.fine_rank_to_flat / fine_rank_to_receiver):
+    from .ranked_segment import fine_rank_table_rows
+
+    rpad = fine_rank_table_rows(n_pad, L, int(tgt_rank.shape[0]), 256)
+    fine_to_flat = np.zeros((rpad,), dtype=np.int32)
+    fine_to_rcv = np.full((rpad,), n_pad, dtype=np.int32)
+    if tgt_rank.shape[0]:
+        fine_to_flat[tgt_rank[is_new_f]] = np.minimum(
+            tgt_sorted[is_new_f], L * n_pad - 1
+        )
+        fine_to_rcv[tgt_rank[is_new_f]] = rcv_sorted[is_new_f]
+
     flat = FlatEdges(
         src_flat=src_in_stream,
         tgt_flat=tgt_in_stream,
@@ -298,6 +393,12 @@ def pad_graph_batch(
         src_to_rank=src_to_rank,
         tgt_sorted_rank=tgt_sorted_rank,
         tgt_to_rank=tgt_to_rank,
+        win_fine=_win_token(_merge_windows(rank_window(tgt_rank),
+                                           rank_window(rcv_rank))),
+        win_src=_win_token(rank_window(src_sorted_rank)),
+        win_tgt=_win_token(rank_window(tgt_sorted_rank)),
+        fine_to_flat=fine_to_flat,
+        fine_to_rcv=fine_to_rcv,
     )
 
     return GraphBatch(

@@ -35,6 +35,15 @@ Static-shape contract: the flat stream length is a multiple of 2048
 buckets), which is one grid step here. All kernel shape parameters derive
 from (E, D, n_pad) alone, so batches sharing a BatchSpec share one
 compilation.
+
+Window compression (`win`): gap-free nondecreasing ranks guarantee every
+`BE`-edge sub-block touches at most BE+8 aligned table rows, but on
+dense graphs the TRUE span is far smaller (PPI: ~28 edges per (receiver,
+type) group -> a 256-edge sub-block spans ~14 ranks). The host measures
+the max span per fold at padding time (ops/graph.py rank_window) and the
+kernels take it as the static one-hot height `win`, shrinking the
+dominant [win, BE] MXU one-hots (and the RMW'd table slabs) by up to
+~8x. win=0 falls back to the data-independent bound BE+8.
 """
 
 import functools
@@ -108,15 +117,17 @@ def film_column_splits(num_edges: int, dim: int, table_rows: int) -> int:
 def film_ranked_supported(num_edges: int, dim: int, table_rows: int) -> bool:
     """Eligibility of the fused FiLM kernels: models the larger of the
     forward pass (bf16 gamma|beta table + f32 out table) and the backward
-    pass (bf16 gamma|beta|g table + f32 d_gamma|d_beta table) VMEM peaks."""
+    pass (bf16 gamma|beta|g table + f32 d_gamma|d_beta table) VMEM peaks.
+    Streams are bf16 [STEP, D] blocks double-buffered by the Pallas
+    pipeline (2 buffers each way)."""
     if num_edges % STEP != 0 or num_edges < STEP:
         return False
     lane_d = _ceil_mult(dim, 128)
     lane_2d = _ceil_mult(2 * dim, 128)
     lane_3d = _ceil_mult(3 * dim, 128)
-    streams = 4 * STEP * lane_d * 4
-    fwd = table_rows * (lane_2d * 2 + lane_d * 4) + streams
-    bwd = table_rows * (lane_3d * 2 + lane_2d * 4) + 2 * streams
+    stream = 2 * STEP * lane_d * 2  # one bf16 stream, double-buffered
+    fwd = table_rows * (lane_2d * 2 + lane_d * 4) + stream
+    bwd = table_rows * (lane_3d * 2 + lane_2d * 4) + 2 * stream
     return max(fwd, bwd) <= _VMEM_BUDGET
 
 
@@ -320,12 +331,13 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges"))
-def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges):
+@functools.partial(jax.jit,
+                   static_argnames=("table_rows", "block_edges", "win"))
+def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges, win=0):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
-    rl = be + 8
+    rl = win if win else be + 8
     rpad = table_rows
     blocks, starts = _chunk_inputs(rcv_rank, be)
     kern = functools.partial(_segsum_kernel, be=be, rl=rl, sub=sub)
@@ -343,13 +355,13 @@ def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges):
     )(starts, blocks, msgs)
 
 
-@functools.partial(jax.jit, static_argnames=("block_edges",))
-def _expand_impl(table, rcv_rank, *, block_edges):
+@functools.partial(jax.jit, static_argnames=("block_edges", "win"))
+def _expand_impl(table, rcv_rank, *, block_edges, win=0):
     e = rcv_rank.shape[0]
     dim = table.shape[1]
     be = block_edges
     sub = STEP // be
-    rl = be + 8
+    rl = win if win else be + 8
     blocks, starts = _chunk_inputs(rcv_rank, be)
     kern = functools.partial(_expand_kernel, be=be, rl=rl, sub=sub)
     return pl.pallas_call(
@@ -369,53 +381,55 @@ def _expand_impl(table, rcv_rank, *, block_edges):
 # ---- public segment-sum / expand with streaming VJPs ----------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def ranked_segment_sum_table(msgs, ranks, table_rows: int,
-                             block_edges: int = 256):
+                             block_edges: int = 256, win: int = 0):
     """Sum messages per rank: [E, D] -> [table_rows, D] (f32).
 
     `ranks` must be nondecreasing gap-free group ids over the stream
     (coarse receiver ranks or fine (receiver, type) ranks). Rank r of the
     table holds the sum over edges with rank == r. VJP: d_msgs[e] =
-    d_table[rank[e]] — the streaming expand kernel.
-    """
+    d_table[rank[e]] — the streaming expand kernel. `win` is the static
+    per-sub-block rank-window bound (host-measured; 0 = BE+8)."""
     return _segsum_table_impl(msgs, ranks, table_rows=table_rows,
-                              block_edges=block_edges)
+                              block_edges=block_edges, win=win)
 
 
-def _segsum_fwd(msgs, ranks, table_rows, block_edges):
+def _segsum_fwd(msgs, ranks, table_rows, block_edges, win):
     out = _segsum_table_impl(msgs, ranks, table_rows=table_rows,
-                             block_edges=block_edges)
+                             block_edges=block_edges, win=win)
     return out, (ranks, jnp.zeros((0,), msgs.dtype))
 
 
-def _segsum_bwd(table_rows, block_edges, res, g):
+def _segsum_bwd(table_rows, block_edges, win, res, g):
     ranks, proto = res
-    d_msgs = _expand_impl(g, ranks, block_edges=block_edges)
+    d_msgs = _expand_impl(g, ranks, block_edges=block_edges, win=win)
     return (d_msgs.astype(proto.dtype), None)
 
 
+ranked_segment_sum_table = jax.custom_vjp(
+    ranked_segment_sum_table, nondiff_argnums=(2, 3, 4)
+)
 ranked_segment_sum_table.defvjp(_segsum_fwd, _segsum_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def ranked_expand_table(table, ranks, table_rows: int,
-                        block_edges: int = 256):
+                        block_edges: int = 256, win: int = 0):
     """Per-edge value of a rank-indexed table: out[e] = table[rank[e]].
 
     The streaming inverse of ranked_segment_sum_table (and its VJP)."""
-    return _expand_impl(table, ranks, block_edges=block_edges)
+    return _expand_impl(table, ranks, block_edges=block_edges, win=win)
 
 
-def _expand_fwd(table, ranks, table_rows, block_edges):
-    out = _expand_impl(table, ranks, block_edges=block_edges)
+def _expand_fwd(table, ranks, table_rows, block_edges, win):
+    out = _expand_impl(table, ranks, block_edges=block_edges, win=win)
     return out, (ranks, jnp.zeros((0,), table.dtype))
 
 
-def _expand_bwd(table_rows, block_edges, res, g):
+def _expand_bwd(table_rows, block_edges, win, res, g):
     ranks, proto = res
     d_table = _segsum_table_impl(g, ranks, table_rows=table_rows,
-                                 block_edges=block_edges)
+                                 block_edges=block_edges, win=win)
     return (d_table.astype(proto.dtype), None)
 
 
@@ -425,13 +439,13 @@ ranked_expand_table.defvjp(_expand_fwd, _expand_bwd)
 # ---- fused per-head weighted segment-sum (RGAT aggregation) ---------------
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("table_rows", "num_heads", "block_edges"))
-def _wseg_impl(msgs, w, ranks, *, table_rows, num_heads, block_edges):
+@functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
+                                             "block_edges", "win"))
+def _wseg_impl(msgs, w, ranks, *, table_rows, num_heads, block_edges, win=0):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
-    rl = be + 8
+    rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_wseg_kernel, be=be, rl=rl, sub=sub, d=dim,
                              k=num_heads)
@@ -451,12 +465,13 @@ def _wseg_impl(msgs, w, ranks, *, table_rows, num_heads, block_edges):
     )(starts, blocks, msgs, w)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "block_edges"))
-def _wseg_bwd_impl(msgs, w, g16, ranks, *, num_heads, block_edges):
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_edges", "win"))
+def _wseg_bwd_impl(msgs, w, g16, ranks, *, num_heads, block_edges, win=0):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
-    rl = be + 8
+    rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_wseg_bwd_kernel, be=be, rl=rl, sub=sub, d=dim,
                              k=num_heads)
@@ -485,9 +500,10 @@ def _wseg_bwd_impl(msgs, w, g16, ranks, *, num_heads, block_edges):
     )(starts, blocks, msgs, w, g16)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def ranked_weighted_segment_sum(msgs, w, ranks, table_rows: int,
-                                num_heads: int, block_edges: int = 256):
+                                num_heads: int, block_edges: int = 256,
+                                win: int = 0):
     """Per-head weighted segment-sum: table[r] = sum_{e: rank(e)==r}
     rep(w[e]) * msgs[e], with w [E, K] replicated over each head's D/K
     lanes (head-major D layout, matching t.reshape(..., K, D/K)).
@@ -497,19 +513,20 @@ def ranked_weighted_segment_sum(msgs, w, ranks, table_rows: int,
     streaming kernel: d_msgs[e] = rep(w[e]) * g[rank_e] (bf16) and
     d_w[e, k] = sum_d msgs[e, kd] * g[rank_e, kd]."""
     return _wseg_impl(msgs, w, ranks, table_rows=table_rows,
-                      num_heads=num_heads, block_edges=block_edges)
+                      num_heads=num_heads, block_edges=block_edges, win=win)
 
 
-def _wseg_vjp_fwd(msgs, w, ranks, table_rows, num_heads, block_edges):
+def _wseg_vjp_fwd(msgs, w, ranks, table_rows, num_heads, block_edges, win):
     out = _wseg_impl(msgs, w, ranks, table_rows=table_rows,
-                     num_heads=num_heads, block_edges=block_edges)
+                     num_heads=num_heads, block_edges=block_edges, win=win)
     return out, (msgs, w, ranks)
 
 
-def _wseg_vjp_bwd(table_rows, num_heads, block_edges, res, g):
+def _wseg_vjp_bwd(table_rows, num_heads, block_edges, win, res, g):
     msgs, w, ranks = res
     d_msgs, d_w = _wseg_bwd_impl(msgs, w, g.astype(jnp.bfloat16), ranks,
-                                 num_heads=num_heads, block_edges=block_edges)
+                                 num_heads=num_heads, block_edges=block_edges,
+                                 win=win)
     return (d_msgs.astype(msgs.dtype), d_w.astype(w.dtype), None)
 
 
@@ -534,12 +551,12 @@ def film_act_supported(name: str) -> bool:
     return name.lower() in _ACTS
 
 
-@functools.partial(jax.jit, static_argnames=("block_edges", "act"))
-def _film_fwd_impl(msgs, gb_table, ranks, *, block_edges, act):
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _film_fwd_impl(msgs, gb_table, ranks, *, block_edges, act, win=0):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
-    rl = be + 8
+    rl = win if win else be + 8
     rpad = gb_table.shape[0]
     assert gb_table.shape == (rpad, 2 * dim), (gb_table.shape, rpad, dim)
     blocks, starts = _chunk_inputs(ranks, be)
@@ -560,12 +577,12 @@ def _film_fwd_impl(msgs, gb_table, ranks, *, block_edges, act):
     )(starts, blocks, msgs, gb_table)
 
 
-@functools.partial(jax.jit, static_argnames=("block_edges", "act"))
-def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act):
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act, win=0):
     e, dim = msgs.shape
     be = block_edges
     sub = STEP // be
-    rl = be + 8
+    rl = win if win else be + 8
     rpad = gbg_table.shape[0]
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_bwd_kernel, be=be, rl=rl, sub=sub, d=dim,
@@ -592,9 +609,9 @@ def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act):
     )(starts, blocks, msgs, gbg_table)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def film_ranked_aggregate(msgs, gb_table, ranks, act: str = "relu",
-                          block_edges: int = 256):
+                          block_edges: int = 256, win: int = 0):
     """Fused GNN-FiLM message pass: table[r] = sum_{e: rank(e)==r}
     act(gamma[r] * msgs[e] + beta[r]) with gb_table = [gamma | beta]
     rank-indexed [RPAD, 2D]. `ranks` must be FINE (receiver, type) group
@@ -605,23 +622,23 @@ def film_ranked_aggregate(msgs, gb_table, ranks, act: str = "relu",
     returns (d_msgs [E, D], d_gb_table [RPAD, 2D]) — no per-edge gathers.
     """
     return _film_fwd_impl(msgs, gb_table.astype(jnp.bfloat16), ranks,
-                          block_edges=block_edges, act=act)
+                          block_edges=block_edges, act=act, win=win)
 
 
-def _film_vjp_fwd(msgs, gb_table, ranks, act, block_edges):
+def _film_vjp_fwd(msgs, gb_table, ranks, act, block_edges, win):
     gb16 = gb_table.astype(jnp.bfloat16)
     out = _film_fwd_impl(msgs, gb16, ranks,
-                         block_edges=block_edges, act=act)
+                         block_edges=block_edges, act=act, win=win)
     return out, (msgs, gb16, jnp.zeros((0,), gb_table.dtype), ranks)
 
 
-def _film_vjp_bwd(act, block_edges, res, g):
+def _film_vjp_bwd(act, block_edges, win, res, g):
     msgs, gb16, gb_proto, ranks = res
     # bf16 gamma|beta|g table: the kernel consumes bf16 slabs either way,
     # and halving the resident table doubles the shapes that fit VMEM.
     gbg = jnp.concatenate([gb16, g.astype(jnp.bfloat16)], axis=1)
     d_msgs, d_gb = _film_bwd_impl(msgs, gbg, ranks,
-                                  block_edges=block_edges, act=act)
+                                  block_edges=block_edges, act=act, win=win)
     return (d_msgs.astype(msgs.dtype), d_gb.astype(gb_proto.dtype), None)
 
 

@@ -36,9 +36,23 @@ def make_mesh(n_devices: int = None, axis_name: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def unify_batch_windows(batches: Sequence[TaskBatch]) -> List[TaskBatch]:
+    """Give TaskBatches identical rank-window tokens (ops/graph.py
+    FlatEdges win_*) so they share one pytree shape for stacking."""
+    from ..ops.graph import unify_flat_windows
+
+    flats = unify_flat_windows([b.graph.flat for b in batches])
+    return [
+        b._replace(graph=b.graph._replace(flat=f))
+        for b, f in zip(batches, flats)
+    ]
+
+
 def stack_task_batches(batches: Sequence[TaskBatch]) -> TaskBatch:
     """Stack per-device TaskBatches along a new leading axis. All batches
-    must share one static shape (guaranteed by the fold's BatchSpec)."""
+    must share one static shape (guaranteed by the fold's BatchSpec, with
+    rank-window tokens unified here)."""
+    batches = unify_batch_windows(batches)
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 

@@ -40,6 +40,18 @@ from ..utils.iterators import ThreadedIterator
 from .optimizers import clip_grads_per_tensor, make_optimizer
 
 
+def unify_win_tokens(batches: List[TaskBatch]) -> List[TaskBatch]:
+    """Give a set of batches identical rank-window tokens so they share
+    one pytree shape — required wherever batches are stacked (lax.scan
+    epochs, data-parallel groups) and avoids per-bucket recompiles on
+    cached folds (see ops/graph.py unify_flat_windows)."""
+    from ..parallel.data_parallel import unify_batch_windows
+
+    if not batches:
+        return batches
+    return unify_batch_windows(batches)
+
+
 def flatten_params(params, prefix="") -> Dict[str, np.ndarray]:
     """Pytree -> {path: ndarray}, the checkpoint weight format (analogous to
     the reference's variable-name keyed dict, sparse_graph_model.py:91-107)."""
@@ -591,7 +603,7 @@ class SparseGraphModel(ABC):
             # batches would split the cached batches into two pytree
             # structures and force an extra jit compilation.
             self._batch_cache[data_fold] = self._attach_cached_dense_adj_fold(
-                to_cache, data_fold
+                unify_win_tokens(to_cache), data_fold
             )
         # Single host sync at epoch end: fetch all metric scalars at once.
         host_metrics = jax.device_get(device_metrics)
@@ -706,6 +718,7 @@ class SparseGraphModel(ABC):
                 counts = [int(b.num_graphs) for b in group]
                 while len(group) < replicas:
                     group.append(self._empty_like_batch(group[-1]))
+                group = unify_win_tokens(group)
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(
                         [jnp.asarray(x) for x in xs], axis=0
