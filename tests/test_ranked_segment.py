@@ -358,3 +358,41 @@ def test_rank_window_measures_spans():
     # ~20 edges per rank: span ~13 + alignment -> 32 bucket.
     r = np.repeat(np.arange(128, dtype=np.int32), 20)[:2048]
     assert rank_window(r) in (16, 32)
+
+
+@pytest.mark.parametrize("act", ["relu", "leaky_relu", "tanh"])
+def test_film_layer_fused_grads_other_acts(act, monkeypatch):
+    """With the gather-fused src pass force-enabled, relu / leaky_relu
+    ride it (affine-in-mask act') and tanh falls back to
+    film_ranked_aggregate — all must match the segment path in outputs
+    and gradients."""
+    monkeypatch.setattr(rs, "ENABLE_FUSED_SRC_PASS", True)
+    from tf_gnn_samples_tpu.nn.layers import gnn_film_apply, gnn_film_init
+
+    rng = np.random.RandomState(13)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = gnn_film_init(jax.random.PRNGKey(2), 2, d)
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+
+    def loss(strategy):
+        def f(p, hh):
+            out = gnn_film_apply(p, graph, hh, activation_function=act,
+                                 aggregation_strategy=strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    out_seg = gnn_film_apply(params, graph, h, activation_function=act,
+                             aggregation_strategy="segment")
+    out_fus = gnn_film_apply(params, graph, h, activation_function=act,
+                             aggregation_strategy="pallas")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_fus)[real],
+                               np.asarray(out_seg)[real],
+                               rtol=5e-2, atol=5e-2)
+    g_seg = jax.grad(loss("segment"), argnums=(0, 1))(params, h)
+    g_fus = jax.grad(loss("pallas"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_seg),
+                    jax.tree_util.tree_leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)

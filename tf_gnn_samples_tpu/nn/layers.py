@@ -442,17 +442,37 @@ def gnn_film_apply(
         # kernel stream traffic; the kernel accumulates in f32 and its
         # VJP upcasts cotangents before the streaming segment-sum.
         t_flat = _flat(t).astype(jnp.bfloat16) if fused else _flat(t)
-        m = gather_flat_src(t_flat, graph.flat)
-        if normalize_by_num_incoming:
-            m = m * graph.flat.norm_scale[:, None].astype(m.dtype)
         if fused:
+            flat_g = graph.flat
+            e_tot = flat_g.src_flat.shape[0]
             rank_nodes = fine_rank_to_flat(graph)
             gb_ranked = jnp.take(_flat(film), rank_nodes, axis=0, mode="clip")
             act_name = activation_function.lower()
-            win = token_window(graph.flat.win_fine)
-            splits = rs.film_column_splits(
-                m.shape[0], d, gb_ranked.shape[0]
+            win = token_window(flat_g.win_fine)
+            splits = rs.film_column_splits(e_tot, d, gb_ranked.shape[0])
+            gather_fusible = (
+                splits == 1
+                and not normalize_by_num_incoming
+                and getattr(flat_g, "fine_rank_by_src", None) is not None
+                and rs.film_fused_src_supported(
+                    act_name, e_tot, d, gb_ranked.shape[0]
+                )
             )
+            if gather_fusible:
+                # Source-gather-fused pass: backward computes dt in
+                # src-sorted order from small tables — no [E, D] permute.
+                table = rs.film_fused_src_pass(
+                    t_flat, gb_ranked, flat_g.src_flat, flat_g.perm_by_src,
+                    flat_g.fine_rank_by_src, flat_g.src_sorted_rank,
+                    flat_g.src_to_rank, flat_g.tgt_rank, act_name, 256,
+                    win, token_window(flat_g.win_src),
+                )
+                agg = fine_table_to_nodes(table, graph)
+                h = layer_norm(params["ln"], agg)
+                continue
+            m = gather_flat_src(t_flat, graph.flat)
+            if normalize_by_num_incoming:
+                m = m * graph.flat.norm_scale[:, None].astype(m.dtype)
             if splits == 1:
                 table = rs.film_ranked_aggregate(
                     m, gb_ranked, graph.flat.tgt_rank, act_name, 256, win
@@ -475,6 +495,9 @@ def gnn_film_apply(
                 table = jnp.concatenate(parts, axis=1)
             agg = fine_table_to_nodes(table, graph)
         else:
+            m = gather_flat_src(t_flat, graph.flat)
+            if normalize_by_num_incoming:
+                m = m * graph.flat.norm_scale[:, None].astype(m.dtype)
             m = m.astype(jnp.float32)
             gb = gather_flat_tgt(_flat(film), graph.flat)  # FiLM from *target*
             gamma, beta = gb[:, :d], gb[:, d:]

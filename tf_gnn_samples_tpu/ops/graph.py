@@ -111,6 +111,11 @@ class FlatEdges(NamedTuple):
     # row n_pad.
     fine_to_flat: jnp.ndarray = None  # [RPAD] int32
     fine_to_rcv: jnp.ndarray = None  # [RPAD] int32
+    # Fine (receiver, type) rank of each edge of the SOURCE-sorted stream
+    # (= tgt_rank[perm_by_src]); lets backward passes gather per-edge
+    # receiver-side rank-table rows while iterating in source order
+    # (ranked_segment.film_fused_src_pass).
+    fine_rank_by_src: jnp.ndarray = None  # [E_tot] int32
 
 
 class GraphBatch(NamedTuple):
@@ -399,6 +404,7 @@ def pad_graph_batch(
         win_tgt=_win_token(rank_window(tgt_sorted_rank)),
         fine_to_flat=fine_to_flat,
         fine_to_rcv=fine_to_rcv,
+        fine_rank_by_src=tgt_rank[perm_by_src],
     )
 
     return GraphBatch(

@@ -277,6 +277,135 @@ def _film_fwd_kernel(start_ref, rank_ref, msg_ref, gb_ref, out_ref,
         out_ref[pl.ds(start, rl), :] = cur + contrib
 
 
+_MASK_GROUP = 16  # mask bits packed per f32/int32 lane (exact in f32)
+
+
+def _mask_lanes(d: int) -> int:
+    """Packed-mask lane count: ceil(d/16) rounded up to 32 lanes. Very
+    narrow arrays tempt XLA into a transposed {0,1} layout for the
+    [E, lanes] gather plus layout-conversion copies on the Pallas
+    boundary (measured ~3 ms/layer of pure copies at PPI scale at 20
+    lanes), while a full 128-lane dim grows the gather source past XLA's
+    VMEM-staging budget (measured 1.6x fewer rows/s)."""
+    return _ceil_mult(-(-d // _MASK_GROUP), 32)
+
+
+def _mask_pack_matrix(d: int):
+    """PCK[j, g] = 2^(j % 16) if j // 16 == g else 0: dot(mask01, PCK)
+    packs 16 mask bits per lane as exact small-integer f32 values."""
+    lanes = _mask_lanes(d)
+    j = jax.lax.broadcasted_iota(jnp.int32, (d, lanes), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (d, lanes), 1)
+    return jnp.where(j // _MASK_GROUP == g,
+                     jnp.exp2((j % _MASK_GROUP).astype(jnp.float32)), 0.0)
+
+
+def _mask_unpack(packed_f, d: int):
+    """Inverse of the pack: [BE, ceil(d/16)] exact-int f32 -> [BE, d] 0/1
+    f32 via replicate + float bit extraction (floor arithmetic only — no
+    integer lane ops, which keeps the Mosaic lowering simple)."""
+    lanes = packed_f.shape[1]
+    g = jax.lax.broadcasted_iota(jnp.int32, (lanes, d), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (lanes, d), 1)
+    rep = jnp.where(j // _MASK_GROUP == g, 1.0, 0.0)
+    v = jnp.dot(packed_f, rep, preferred_element_type=jnp.float32)
+    shift = jnp.exp2(-(jax.lax.broadcasted_iota(
+        jnp.int32, (packed_f.shape[0], d), 1) % _MASK_GROUP).astype(
+            jnp.float32))
+    t = jnp.floor(v * shift)
+    return t - 2.0 * jnp.floor(t * 0.5)
+
+
+def _film_fwd_mask_kernel(start_ref, rank_ref, msg_ref, gb_ref, out_ref,
+                          mask_ref, *, be, rl, sub, d, act):
+    """Forward FiLM kernel that additionally emits the packed activation
+    mask (z > 0) per edge — the backward dt path reconstructs act'(z)
+    from it in SOURCE-sorted order without permuting any [E, D] stream
+    (relu / leaky_relu: act' is a function of the mask alone)."""
+    c = pl.program_id(0)
+    pck = _mask_pack_matrix(d)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        gb_slab = gb_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+        gb_e = jnp.dot(
+            oh_t, gb_slab, preferred_element_type=jnp.float32,
+        )  # [BE, 2D]
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        z = gb_e[:, :d] * m + gb_e[:, d:]
+        mask01 = (z > 0).astype(jnp.float32)
+        mask_ref[pl.ds(s * be, be), :] = jnp.dot(
+            mask01, pck, preferred_element_type=jnp.float32,
+        )
+        a = act(z).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, a, preferred_element_type=jnp.float32)
+        cur = out_ref[pl.ds(start, rl), :]
+        out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _film_bwd_dgb_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
+                         dgb_ref, *, be, rl, sub, d, dact):
+    """d_gamma|d_beta half of the FiLM backward (no d_msgs stream — the
+    masked src-order path computes dt without it)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dgb_ref[:] = jnp.zeros_like(dgb_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        slab = gbg_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+        e_vals = jnp.dot(
+            oh_t, slab, preferred_element_type=jnp.float32,
+        )  # [BE, 3D] = gamma | beta | g
+        gamma, beta, g = e_vals[:, :d], e_vals[:, d:2 * d], e_vals[:, 2 * d:]
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        z = gamma * m + beta
+        dz = dact(z) * g
+        dgamma_e = (m * dz).astype(jnp.bfloat16)
+        dbeta_e = dz.astype(jnp.bfloat16)
+        contrib = jnp.dot(
+            oh, jnp.concatenate([dgamma_e, dbeta_e], axis=1),
+            preferred_element_type=jnp.float32,
+        )
+        cur = dgb_ref[pl.ds(start, rl), :]
+        dgb_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _masked_segsum_kernel(start_ref, rank_ref, mask_ref, c_ref, out_ref,
+                          *, be, rl, sub, d, leak):
+    """dt_table[r] = sum_{e: rank(e)==r} factor(mask_e) * C_e over a
+    SOURCE-sorted stream, where factor = mask (relu) or leak + (1-leak) *
+    mask (leaky_relu) and C_e = (gamma * g)[fine_rank(e)] was gathered by
+    XLA from a small rank table (write-bound — no tile-amplified [E, D]
+    permute anywhere on this path)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        mask = _mask_unpack(mask_ref[pl.ds(s * be, be), :], d)
+        factor = mask if leak == 0.0 else leak + (1.0 - leak) * mask
+        dmsg = (c_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+                * factor).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, dmsg, preferred_element_type=jnp.float32)
+        cur = out_ref[pl.ds(start, rl), :]
+        out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
 def _film_bwd_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
                      dmsg_ref, dgb_ref, *, be, rl, sub, d, dact):
     c = pl.program_id(0)
@@ -539,8 +668,10 @@ _ACTS = {
     "linear": (lambda z: z, lambda z: jnp.ones_like(z)),
     "relu": (lambda z: jnp.maximum(z, 0.0),
              lambda z: (z > 0).astype(jnp.float32)),
-    "leaky_relu": (lambda z: jnp.where(z > 0, z, 0.01 * z),
-                   lambda z: jnp.where(z > 0, 1.0, 0.01)),
+    # alpha=0.2: the tf.nn.leaky_relu default the reference relies on
+    # (utils/utils.py:46-47), NOT jax's 0.01 (see nn/activations.py).
+    "leaky_relu": (lambda z: jnp.where(z > 0, z, 0.2 * z),
+                   lambda z: jnp.where(z > 0, 1.0, 0.2)),
     "elu": (lambda z: jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0),
             lambda z: jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))),
     "tanh": (jnp.tanh, lambda z: 1.0 - jnp.tanh(z) ** 2),
@@ -607,6 +738,188 @@ def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act, win=0):
         compiler_params=_params(),
         interpret=_interpret(),
     )(starts, blocks, msgs, gbg_table)
+
+
+# Activations whose derivative is a function of the sign mask alone:
+# act'(z) = leak + (1 - leak) * (z > 0).
+MASKABLE_ACTS = {"relu": 0.0, "leaky_relu": 0.2}
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _film_fwd_mask_impl(msgs, gb_table, ranks, *, block_edges, act, win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    rpad = gb_table.shape[0]
+    mlanes = _mask_lanes(dim)
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_film_fwd_mask_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, act=_ACTS[act][0])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gb table resident
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, mlanes), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rpad, dim), jnp.float32),
+            jax.ShapeDtypeStruct((e, mlanes), jnp.float32),
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, gb_table)
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _film_bwd_dgb_impl(msgs, gbg_table, ranks, *, block_edges, act, win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    rpad = gbg_table.shape[0]
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_film_bwd_dgb_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, dact=_ACTS[act][1])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma|beta|g table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rpad, 2 * dim), jnp.float32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, gbg_table)
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges",
+                                             "leak", "win"))
+def _masked_segsum_impl(mask_packed, c_e, ranks, *, table_rows, block_edges,
+                        leak, win=0):
+    e, dim = c_e.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    mlanes = mask_packed.shape[1]
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_masked_segsum_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, leak=leak)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, mlanes), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(starts, blocks, mask_packed, c_e)
+
+
+# The gather-fused src pass is OFF by default: on the current v5e the
+# packed-mask permute + C-table gather land within noise of the plain
+# [E, D] cotangent permute they replace (XLA gathers are row-rate limited
+# at ~100M rows/s from large sources and ~325M rows/s from VMEM-staged
+# small ones, so ANY per-edge reorder costs ~1.2-5 ms at PPI scale — see
+# docs/PERFORMANCE.md). Kept behind this switch as infrastructure: on
+# hardware/XLA versions with faster small-row gathers it removes the
+# step's single hottest op.
+ENABLE_FUSED_SRC_PASS = False
+
+
+def film_fused_src_supported(act: str, num_edges: int, dim: int,
+                             table_rows: int) -> bool:
+    """Eligibility of the gather-fused FiLM pass: maskable activation and
+    the unsplit kernel shapes fit VMEM."""
+    return (ENABLE_FUSED_SRC_PASS
+            and act in MASKABLE_ACTS
+            and film_ranked_supported(num_edges, dim, table_rows))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def film_fused_src_pass(t_flat, gb_table, src_idx, perm_by_src,
+                        fine_rank_by_src, src_sorted_rank, src_to_rank,
+                        ranks, act: str, block_edges: int,
+                        win_fine: int, win_src: int):
+    """FiLM message pass with the source-side gather fused into the VJP.
+
+    Forward: gather m = t_flat[src_idx] (XLA take from the small type-
+    stacked table — write-bound) and run the fused modulate-activate-
+    aggregate kernel, which also emits a PACKED sign mask of z per edge.
+
+    Backward avoids the tile-amplified [E, D] cotangent permute of the
+    generic gather VJP (the measured hot op of the FiLM step: a random
+    row gather reads 3 full (16, 128) tiles per 320-lane row — ~4.8 GB at
+    PPI scale). Instead it reconstructs d_msgs in SOURCE-sorted order
+    from small-table gathers only:
+        dmsg_e = act'(z_e) * gamma_e * g_e = factor(mask_e) * C[r_e]
+    with C = gamma * g a [RPAD, D] rank table, mask the packed forward
+    sign bits ([E, D/16] — one 4 KB tile per row instead of three), and
+    factor affine in the mask (relu / leaky_relu). A windowed streaming
+    segment-sum by source rank then yields dt directly.
+    """
+    gb16 = gb_table.astype(jnp.bfloat16)
+    m = jnp.take(t_flat, src_idx, axis=0, mode="clip")
+    table, _ = _film_fwd_mask_impl(m, gb16, ranks, block_edges=block_edges,
+                                   act=act, win=win_fine)
+    return table
+
+
+def _ffsp_fwd(t_flat, gb_table, src_idx, perm_by_src, fine_rank_by_src,
+              src_sorted_rank, src_to_rank, ranks, act, block_edges,
+              win_fine, win_src):
+    gb16 = gb_table.astype(jnp.bfloat16)
+    m = jnp.take(t_flat, src_idx, axis=0, mode="clip")
+    table, maskp = _film_fwd_mask_impl(m, gb16, ranks,
+                                       block_edges=block_edges, act=act,
+                                       win=win_fine)
+    res = (m, gb16, maskp, perm_by_src, fine_rank_by_src, src_sorted_rank,
+           src_to_rank, ranks, jnp.zeros((0,), t_flat.dtype),
+           jnp.zeros((0,), gb_table.dtype), t_flat.shape[0])
+    return table, res
+
+
+def _ffsp_bwd(act, block_edges, win_fine, win_src, res, g):
+    (m, gb16, maskp, perm_by_src, fine_rank_by_src, src_sorted_rank,
+     src_to_rank, ranks, t_proto, gb_proto, t_rows) = res
+    d = m.shape[1]
+    g16 = g.astype(jnp.bfloat16)
+    gbg = jnp.concatenate([gb16, g16], axis=1)
+    dgb = _film_bwd_dgb_impl(m, gbg, ranks, block_edges=block_edges,
+                             act=act, win=win_fine)
+    # dt in SOURCE-sorted order from small tables (see film_fused_src_pass):
+    c_table = gb16[:, :d] * g16  # [RPAD, D] bf16
+    maskp_src = jnp.take(maskp, perm_by_src, axis=0, mode="clip")
+    c_src = jnp.take(c_table, fine_rank_by_src, axis=0, mode="clip")
+    e_tot = m.shape[0]
+    rows = _ceil_mult(min(t_rows + 1, e_tot), 8) + block_edges + 8
+    dt_table = _masked_segsum_impl(
+        maskp_src, c_src, src_sorted_rank, table_rows=rows,
+        block_edges=block_edges, leak=MASKABLE_ACTS[act], win=win_src,
+    )
+    valid = src_to_rank >= 0
+    d_t = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
+    d_t = jnp.where(valid[:, None], d_t, 0.0).astype(t_proto.dtype)
+    return (d_t, dgb.astype(gb_proto.dtype), None, None, None, None, None,
+            None)
+
+
+film_fused_src_pass.defvjp(_ffsp_fwd, _ffsp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
