@@ -73,17 +73,20 @@ def compute_batch_spec(
         max_nodes: the reference's `max_nodes_in_batch` packing budget
             (models/sparse_graph_model.py:25).
 
-    The per-type edge budget uses the worst per-graph edge density
-    r_l = max_g edges_l(g) / nodes(g): any pack with <= max_nodes nodes has
-    <= r_l * max_nodes edges of type l. The graph budget uses the smallest
-    graph. This gives ONE compiled shape per fold while keeping padding
-    waste bounded by observed densities.
+    The per-type edge budget is the max per-type edge count over packs of
+    SIMULATED greedy packing runs (the identity order plus seeded
+    shuffles), never below the largest single graph. Budgets are hard:
+    pack_greedy closes a pack early if the next graph would exceed one,
+    so a future shuffle that packs denser than every simulation stays
+    correct (it just splits that pack) — this keeps padding tied to
+    ACHIEVABLE packs instead of the worst per-graph density times the
+    full node budget, which overpadded dense folds by ~15-30%. The graph
+    budget uses the smallest graph. One compiled shape per fold.
     """
-    # Edge pads are multiples of the Pallas streaming segment-sum kernel's
-    # grid block (ops/pallas_segment.py BLOCK) so the whole flat stream is
-    # chunkable by it.
+    # Edge pads are multiples of the Pallas streaming kernels' grid block
+    # (ops/ranked_segment.py STEP) so the whole flat stream is chunkable
+    # by them; 16 buckets/octave keeps the round-up waste ~3-6%.
     edge_min_bucket = max(min_bucket, 2048)
-    max_density = np.zeros(num_edge_types)
     min_nodes = None
     max_graph_nodes = 0
     max_graph_edges = np.zeros(num_edge_types, dtype=np.int64)
@@ -92,16 +95,39 @@ def compute_batch_spec(
         min_nodes = n if min_nodes is None else min(min_nodes, n)
         max_graph_nodes = max(max_graph_nodes, n)
         for l, e in enumerate(e_counts):
-            max_density[l] = max(max_density[l], e / n)
             max_graph_edges[l] = max(max_graph_edges[l], e)
     if min_nodes is None:
         min_nodes = 1
     n_pad = bucket_size(max(max_nodes, max_graph_nodes), min_size=min_bucket)
+
+    nodes_arr = np.array([max(int(n), 1) for n, _ in graph_sizes],
+                         dtype=np.int64)
+    edges_arr = np.array(
+        [np.asarray(e, dtype=np.int64) for _, e in graph_sizes]
+    ).reshape(len(graph_sizes), num_edge_types)
+    sim_max = max_graph_edges.copy()
+    rng = np.random.RandomState(0)  # deterministic spec across processes
+    num_sims = 16
+    for sim in range(num_sims + 1):
+        if sim == 0:
+            order = np.arange(len(nodes_arr))
+        else:
+            order = rng.permutation(len(nodes_arr))
+        cur_nodes = 0
+        cur_edges = np.zeros(num_edge_types, dtype=np.int64)
+        for i in order:
+            n = nodes_arr[i]
+            if cur_nodes and cur_nodes + n >= max_nodes:  # strict <, as
+                # in pack_greedy (reference ppi_task.py:220)
+                sim_max = np.maximum(sim_max, cur_edges)
+                cur_nodes, cur_edges = 0, np.zeros_like(cur_edges)
+            cur_nodes += n
+            cur_edges = cur_edges + edges_arr[i]
+        sim_max = np.maximum(sim_max, cur_edges)
+
     e_pads = tuple(
-        bucket_size(
-            max(int(np.ceil(max_density[l] * n_pad)), int(max_graph_edges[l]), 1),
-            min_size=edge_min_bucket,
-        )
+        bucket_size(max(int(sim_max[l]), 1), min_size=edge_min_bucket,
+                    buckets_per_octave=16)
         for l in range(num_edge_types)
     )
     g_pad = bucket_size(
