@@ -63,7 +63,11 @@ FAMILY_HYPERS = {
     "RGCN": "PPI_RGCN.json",
     "RGAT": "PPI_RGAT.json",
     "RGIN": "PPI_RGIN.json",
-    "GNN-Edge-MLP": "PPI_GNN-Edge-MLP0.json",
+    # The reference benches BOTH Edge-MLP variants (README.md:147-148);
+    # the registry name pins num_edge_hidden_layers to match each one's
+    # tuned hypers file.
+    "GNN-Edge-MLP0": "PPI_GNN-Edge-MLP0.json",
+    "GNN-Edge-MLP1": "PPI_GNN-Edge-MLP1.json",
     "GNN-FiLM": "PPI_GNN-FiLM.json",
     # The reference ships no tuned PPI hypers for RGDCN (it is absent from
     # run_ppi_benchs.py); its own defaults (hidden 128, 8 channels, 25k-node

@@ -98,7 +98,7 @@ def test_segment_sum_vjp_is_expand():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("act", ["relu", "tanh", "linear"])
+@pytest.mark.parametrize("act", ["relu", "tanh", "linear", "gelu"])
 def test_film_aggregate_forward(act):
     rng = np.random.RandomState(4)
     e_tot, n_real, n_pad, d = 4096, 250, 256, 64
@@ -393,6 +393,142 @@ def test_film_layer_fused_grads_other_acts(act, monkeypatch):
     g_seg = jax.grad(loss("segment"), argnums=(0, 1))(params, h)
     g_fus = jax.grad(loss("pallas"), argnums=(0, 1))(params, h)
     for a, b in zip(jax.tree_util.tree_leaves(g_seg),
+                    jax.tree_util.tree_leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)
+
+
+@pytest.mark.parametrize("family", ["rgin", "edge_mlp"])
+def test_node_table_mlp_ranked_matches_unrolled(family):
+    """The all-node-side MLP + flat ranked aggregation fast path (valid
+    for use_target_state_as_input=False) must match the per-edge unrolled
+    path in outputs and gradients."""
+    from tf_gnn_samples_tpu.nn.layers import (
+        gnn_edge_mlp_apply, gnn_edge_mlp_init, rgin_apply, rgin_init)
+
+    rng = np.random.RandomState(17)
+    graph = _random_graph_batch(rng)
+    d = 64
+    if family == "rgin":
+        params = rgin_init(jax.random.PRNGKey(6), 2, d,
+                           use_target_state_as_input=False)
+        def run(p, hh, strategy):
+            return rgin_apply(p, graph, hh,
+                              use_target_state_as_input=False,
+                              typed_edge_scan=strategy)
+    else:
+        params = gnn_edge_mlp_init(jax.random.PRNGKey(7), 2, d,
+                                   use_target_state_as_input=False)
+        def run(p, hh, strategy):
+            return gnn_edge_mlp_apply(p, graph, hh,
+                                      use_target_state_as_input=False,
+                                      normalize_by_num_incoming=True,
+                                      typed_edge_scan=strategy)
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+    out_ref_ = run(params, h, "unroll")
+    out_rank = run(params, h, "auto")  # ranked fast path (interpret mode)
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_rank)[real],
+                               np.asarray(out_ref_)[real],
+                               rtol=5e-2, atol=5e-2)
+
+    def loss(strategy):
+        def f(p, hh):
+            out = run(p, hh, strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_ref = jax.grad(loss("unroll"), argnums=(0, 1))(params, h)
+    g_rank = jax.grad(loss("auto"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_rank)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_edge_mlp0_target_fused_film_matches_unrolled(normalize):
+    """GNN-Edge-MLP0 with target-state input rides the fused FiLM kernel
+    (gamma = norm, beta = norm * tt): outputs and grads must match the
+    unrolled per-edge path."""
+    from tf_gnn_samples_tpu.nn.layers import (gnn_edge_mlp_apply,
+                                              gnn_edge_mlp_init)
+
+    rng = np.random.RandomState(19)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = gnn_edge_mlp_init(jax.random.PRNGKey(8), 2, d,
+                               use_target_state_as_input=True,
+                               num_edge_hidden_layers=0)
+
+    def run(p, hh, strategy):
+        return gnn_edge_mlp_apply(p, graph, hh,
+                                  use_target_state_as_input=True,
+                                  num_edge_hidden_layers=0,
+                                  normalize_by_num_incoming=normalize,
+                                  typed_edge_scan=strategy)
+
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+    out_ref_ = run(params, h, "unroll")
+    out_fus = run(params, h, "auto")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_fus)[real],
+                               np.asarray(out_ref_)[real],
+                               rtol=5e-2, atol=5e-2)
+
+    def loss(strategy):
+        def f(p, hh):
+            out = run(p, hh, strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_ref = jax.grad(loss("unroll"), argnums=(0, 1))(params, h)
+    g_fus = jax.grad(loss("auto"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)
+
+
+@pytest.mark.parametrize("act", ["gelu", "relu"])
+def test_edge_mlp1_typed_dense_fused_matches_unrolled(act):
+    """GNN-Edge-MLP1 (target state + one hidden layer) rides the fused
+    typed-dense aggregate kernel; outputs and grads must match the
+    unrolled per-edge path."""
+    from tf_gnn_samples_tpu.nn.layers import (gnn_edge_mlp_apply,
+                                              gnn_edge_mlp_init)
+
+    rng = np.random.RandomState(23)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = gnn_edge_mlp_init(jax.random.PRNGKey(9), 2, d,
+                               use_target_state_as_input=True,
+                               num_edge_hidden_layers=1)
+
+    def run(p, hh, strategy):
+        return gnn_edge_mlp_apply(p, graph, hh,
+                                  activation_function=act,
+                                  use_target_state_as_input=True,
+                                  num_edge_hidden_layers=1,
+                                  typed_edge_scan=strategy)
+
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+    out_ref_ = run(params, h, "unroll")
+    out_fus = run(params, h, "auto")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_fus)[real],
+                               np.asarray(out_ref_)[real],
+                               rtol=5e-2, atol=8e-2)
+
+    def loss(strategy):
+        def f(p, hh):
+            out = run(p, hh, strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_ref = jax.grad(loss("unroll"), argnums=(0, 1))(params, h)
+    g_fus = jax.grad(loss("auto"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_fus)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=8e-2, atol=8e-1)

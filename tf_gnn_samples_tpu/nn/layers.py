@@ -52,6 +52,7 @@ from ..ops.edge_ops import (
     ranked_table_to_nodes,
     segment_softmax_flat,
     segment_softmax_flat_ranked,
+    segment_softmax_flat_ranked_t,
 )
 from ..ops.graph import GraphBatch, token_window
 from ..ops.typed_stream import (
@@ -333,38 +334,53 @@ def rgat_apply(
             m2 = gather_flat_src(
                 _flat(t).astype(jnp.bfloat16), graph.flat
             )  # [E_tot, D]
+            e_tot = m2.shape[0]
+            # HEAD-MAJOR attention pipeline: every narrow per-edge array
+            # lives as [K, E] (or [L*K, E]) — [E, K] f32 would tile to a
+            # full (8, 128) tile per 8 rows, a 32x physical inflation at
+            # K=4 that cost ~2.7 ms PER elementwise op at PPI scale.
             # a_all[k*Dh + d, l*K + q] = att_src[l, k, d] if k == q else 0:
             # the head-block-diagonal stack of every type's source
-            # attention vector, so m2 @ a_all yields all types' src logits
-            # in one MXU pass over the (sequentially-read) message stream.
+            # attention vector; contracting it with the message stream on
+            # dim D yields all types' src logits transposed.
             a_all = jnp.einsum(
                 "lkd,kq->kdlq", att_src,
                 jnp.eye(num_heads, dtype=att_src.dtype),
             ).reshape(state_dim, L * num_heads)
-            logits_all = jax.lax.dot(
+            # Row-major MXU dot, then ONE transpose of the narrow result.
+            # The optimization_barrier is load-bearing: without it XLA
+            # canonicalizes dot+transpose into a lane-contracting
+            # dot_general and fuses a full [E, D] relayout into the
+            # message gather (~9 ms/layer measured).
+            logits_all = jax.lax.optimization_barrier(jax.lax.dot(
                 m2, a_all.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            ).reshape(-1, L, num_heads)
-            type_oh = jax.nn.one_hot(
-                graph.flat.edge_type, L, dtype=jnp.float32
+            ))
+            logits_all_t = logits_all.T  # [L*K, E_tot]
+            type_oh_t = jax.nn.one_hot(
+                graph.flat.edge_type, L, dtype=jnp.float32, axis=0
+            )  # [L, E_tot]
+            lsrc_t = jnp.einsum(
+                "lke,le->ke",
+                logits_all_t.reshape(L, num_heads, e_tot), type_oh_t,
             )
-            lsrc = jnp.einsum("elk,el->ek", logits_all, type_oh)
 
             rank_nodes = fine_rank_to_flat(graph)
-            lt_ranked = jnp.take(
+            lt_ranked_t = jnp.take(
                 _flat(logit_tgt), rank_nodes, axis=0, mode="clip"
-            )
+            ).T  # [K, RPAD] (tiny transpose)
             win = token_window(graph.flat.win_fine)
-            ltgt = rs.ranked_expand_table(
-                lt_ranked, graph.flat.tgt_rank, lt_ranked.shape[0], 256, win
+            ltgt_t = rs.ranked_expand_table_t(
+                lt_ranked_t, graph.flat.tgt_rank, lt_ranked_t.shape[1],
+                256, win
             )
-            logits = jax.nn.leaky_relu(
-                lsrc + ltgt,
+            logits_t = jax.nn.leaky_relu(
+                lsrc_t + ltgt_t,
                 negative_slope=0.2,  # tf.nn.leaky_relu default (rgat.py:113)
-            )  # [E_tot, K] f32
-            attn = segment_softmax_flat_ranked(logits, graph)
-            table = rs.ranked_weighted_segment_sum(
-                m2, attn, graph.flat.rcv_rank,
+            )  # [K, E_tot] f32
+            attn_t = segment_softmax_flat_ranked_t(logits_t, graph)
+            table = rs.ranked_weighted_segment_sum_t(
+                m2, attn_t, graph.flat.rcv_rank,
                 rs.rank_table_rows(n_pad, 256), num_heads, 256, win,
             )
             h = act(ranked_table_to_nodes(table, graph))
@@ -390,6 +406,31 @@ def rgat_apply(
         )
         h = act(agg.reshape(n_pad, state_dim))
     return h
+
+
+def _film_aggregate_splits(m, gb_ranked, graph, act_name, win, splits):
+    """Run the fused modulate-activate-aggregate kernel, column-splitting
+    the elementwise-in-d modulation when the gamma/beta/grad tables would
+    not fit VMEM whole (ops/ranked_segment.py film_column_splits)."""
+    from ..ops import ranked_segment as rs
+
+    d = m.shape[1]
+    if splits == 1:
+        return rs.film_ranked_aggregate(
+            m, gb_ranked, graph.flat.tgt_rank, act_name, 256, win
+        )
+    w = d // splits
+    parts = []
+    for i in range(splits):
+        cols = slice(i * w, (i + 1) * w)
+        gb_i = jnp.concatenate(
+            [gb_ranked[:, cols], gb_ranked[:, d + i * w:d + (i + 1) * w]],
+            axis=1,
+        )
+        parts.append(rs.film_ranked_aggregate(
+            m[:, cols], gb_i, graph.flat.tgt_rank, act_name, 256, win
+        ))
+    return jnp.concatenate(parts, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -473,26 +514,9 @@ def gnn_film_apply(
             m = gather_flat_src(t_flat, graph.flat)
             if normalize_by_num_incoming:
                 m = m * graph.flat.norm_scale[:, None].astype(m.dtype)
-            if splits == 1:
-                table = rs.film_ranked_aggregate(
-                    m, gb_ranked, graph.flat.tgt_rank, act_name, 256, win
-                )
-            else:
-                # Column-split the elementwise-in-d modulation so the
-                # per-split gamma/beta/grad tables fit VMEM.
-                w = d // splits
-                parts = []
-                for i in range(splits):
-                    cols = slice(i * w, (i + 1) * w)
-                    gb_i = jnp.concatenate(
-                        [gb_ranked[:, cols], gb_ranked[:, d + i * w:d + (i + 1) * w]],
-                        axis=1,
-                    )
-                    parts.append(rs.film_ranked_aggregate(
-                        m[:, cols], gb_i, graph.flat.tgt_rank, act_name,
-                        256, win
-                    ))
-                table = jnp.concatenate(parts, axis=1)
+            table = _film_aggregate_splits(
+                m, gb_ranked, graph, act_name, win, splits
+            )
             agg = fine_table_to_nodes(table, graph)
         else:
             m = gather_flat_src(t_flat, graph.flat)
@@ -539,6 +563,24 @@ def rgin_init(
             keys[1], state_dim, state_dim, num_aggr_MLP_hidden_layers
         )
     return params
+
+
+def _node_table_mlp(h, weights, inner_act):
+    """ALL-node-side stacked per-type MLP -> [L, N, D_out].
+
+    Valid whenever the edge MLP's input is the source state alone
+    (use_target_state_as_input=False): the per-edge message is then a
+    pure function of (type, src), so every MLP layer — not just the
+    first — can run on node tables (L x N x D einsums on the MXU) and
+    the per-edge stage collapses to one gather + one flat ranked
+    aggregation, exactly like the linear-message families. Replaces
+    per-edge [E, D] x [D, D] message matmuls (E/N ~ 28x the FLOPs at
+    PPI density) and XLA scatter-add aggregations (the measured
+    hotspot of the RGIN/GNN-Edge-MLP steps)."""
+    t = typed_transform(h, weights[0])
+    for W in weights[1:]:
+        t = jnp.einsum("lnd,lde->lne", inner_act(t), W)
+    return t
 
 
 def _typed_mlp_messages(h, weights, graph, concat_target, inner_act):
@@ -608,8 +650,22 @@ def rgin_apply(
     scanned = num_edge_MLP_hidden_layers is not None and scan_types_wanted(
         graph, typed_edge_scan
     )
+    ranked = (
+        num_edge_MLP_hidden_layers is not None
+        and not use_target_state_as_input
+        and typed_edge_scan == "auto"
+        and ranked_aggregation_ok(
+            graph, message_aggregation_function, 1, h.shape[-1]
+        )
+    )
     for _step in range(num_timesteps):
-        if scanned:
+        if ranked:
+            t = act(_node_table_mlp(h, params["edge_mlp"], act))
+            m = gather_flat_src(_flat(t).astype(jnp.bfloat16), graph.flat)
+            agg = aggregate_flat_ranked(
+                m, graph, message_aggregation_function
+            )
+        elif scanned:
             agg = _scanned_mlp_aggregate(
                 h, params["edge_mlp"], graph, use_target_state_as_input,
                 act, lambda m, te_l: act(m), message_aggregation_function,
@@ -677,8 +733,114 @@ def gnn_edge_mlp_apply(
             m = m * te_l.norm_scale[:, None]
         return act(m)  # activation on messages (·:112)
 
+    from ..ops import ranked_segment as rs
+
+    d0 = h.shape[-1]
+    ranked = (
+        not use_target_state_as_input
+        and typed_edge_scan == "auto"
+        and ranked_aggregation_ok(
+            graph, message_aggregation_function, 1, d0
+        )
+    )
+    # With target-state input and NO hidden layer (the tuned
+    # GNN-Edge-MLP0), the message is act(norm * (ts[src] + tt[tgt])) —
+    # exactly the fused FiLM kernel with gamma = norm (1/c or 1) constant
+    # per (receiver, type) group and beta = norm * tt rows.
+    fused0 = (
+        use_target_state_as_input
+        and num_edge_hidden_layers == 0
+        and typed_edge_scan == "auto"
+        and message_aggregation_function in ("sum", "unsorted_segment_sum")
+        and rs.film_act_supported(activation_function.lower())
+        and ranked_aggregation_ok(graph, "sum", 1, d0, film=True)
+    )
+    # One hidden layer + target state (the tuned GNN-Edge-MLP1): the
+    # pre-dense hidden x = elu(ts[src] + tt[tgt]) assembles from node
+    # tables + a rank expand; the type-dependent output dense + act +
+    # aggregation run fused (ranked_segment.typed_dense_aggregate).
+    fused1 = (
+        use_target_state_as_input
+        and num_edge_hidden_layers == 1
+        and not normalize_by_num_incoming
+        and typed_edge_scan == "auto"
+        and message_aggregation_function in ("sum", "unsorted_segment_sum")
+        and ranked_aggregation_ok(graph, "sum", 1, d0)
+        and rs.typed_dense_agg_supported(
+            graph.flat.rcv_rank.shape[0], d0, d0, graph.num_edge_types,
+            activation_function.lower(),
+        )
+    )
     for _step in range(num_timesteps):
-        if scan_types_wanted(graph, typed_edge_scan):
+        if fused1:
+            W0, W1 = params["edge_mlp"]
+            ts = typed_transform(h, W0[:, :d0, :])
+            tt = typed_transform(h, W0[:, d0:, :])
+            rank_nodes = fine_rank_to_flat(graph)
+            beta = jnp.take(_flat(tt), rank_nodes, axis=0, mode="clip")
+            win = token_window(graph.flat.win_fine)
+            m = gather_flat_src(
+                _flat(ts).astype(jnp.bfloat16), graph.flat
+            )
+            beta_e = rs.ranked_expand_table(
+                beta, graph.flat.tgt_rank, beta.shape[0], 256, win
+            )
+            x = elu(m.astype(jnp.float32) + beta_e).astype(jnp.bfloat16)
+            rows = rs.rank_table_rows(graph.n_pad, 256)
+            table = rs.typed_dense_aggregate(
+                x, W1, graph.flat.edge_type, graph.flat.rcv_rank, rows,
+                activation_function.lower(), 256, win,
+            )
+            agg = ranked_table_to_nodes(table, graph)
+        elif fused0:
+            W0 = params["edge_mlp"][0]
+            ts = typed_transform(h, W0[:, :d0, :])
+            tt = typed_transform(h, W0[:, d0:, :])
+            rank_nodes = fine_rank_to_flat(graph)
+            beta = jnp.take(_flat(tt), rank_nodes, axis=0, mode="clip")
+            if normalize_by_num_incoming:
+                small = 1e-7  # SMALL_NUMBER
+                counts_flat = graph.typed_incoming_counts.reshape(-1)
+                scale = 1.0 / (jnp.take(
+                    counts_flat, rank_nodes, axis=0, mode="clip"
+                ) + small)
+                gamma = jnp.broadcast_to(scale[:, None], beta.shape)
+                beta = beta * scale[:, None]
+            else:
+                gamma = jnp.ones_like(beta)
+            gb_ranked = jnp.concatenate([gamma, beta], axis=1)
+            m = gather_flat_src(
+                _flat(ts).astype(jnp.bfloat16), graph.flat
+            )
+            win = token_window(graph.flat.win_fine)
+            splits = rs.film_column_splits(
+                m.shape[0], d0, gb_ranked.shape[0]
+            )
+            table = _film_aggregate_splits(
+                m, gb_ranked, graph, activation_function.lower(), win,
+                splits,
+            )
+            agg = fine_table_to_nodes(table, graph)
+        elif ranked:
+            t = _node_table_mlp(h, params["edge_mlp"], elu)
+            if normalize_by_num_incoming:
+                # 1/c is receiver-side, so it must scale the per-edge
+                # stream BEFORE the activation (reference ·:105-112).
+                m = gather_flat_src(
+                    _flat(t).astype(jnp.bfloat16), graph.flat
+                )
+                m = act(
+                    m.astype(jnp.float32)
+                    * graph.flat.norm_scale[:, None]
+                )
+            else:
+                m = gather_flat_src(
+                    _flat(act(t)).astype(jnp.bfloat16), graph.flat
+                )
+            agg = aggregate_flat_ranked(
+                m, graph, message_aggregation_function
+            )
+        elif scan_types_wanted(graph, typed_edge_scan):
             agg = _scanned_mlp_aggregate(
                 h, params["edge_mlp"], graph, use_target_state_as_input,
                 elu, finalize, message_aggregation_function,

@@ -437,6 +437,30 @@ def segment_softmax_flat_ranked(logits, graph, clamp: float = 50.0,
                  + small)
 
 
+def segment_softmax_flat_ranked_t(logits_t, graph, clamp: float = 50.0,
+                                  block_edges: int = 256):
+    """Head-major variant of segment_softmax_flat_ranked: logits and the
+    returned attention weights are [K, E]. Narrow [E, K] arrays tile to a
+    full (8, 128) f32 tile per 8 rows (32x physical inflation at K=4);
+    the [K, E] layout is compact, and the ranked segment kernels run in
+    their transposed forms (ops/ranked_segment.py *_t)."""
+    from .graph import token_window
+    from .ranked_segment import (ranked_expand_table_t,
+                                 ranked_segment_sum_table_t,
+                                 rank_table_rows)
+
+    flat = graph.flat
+    win = token_window(flat.win_fine)
+    ex = jnp.exp(jnp.clip(logits_t, -clamp, clamp)) * flat.mask[None, :]
+    rows = rank_table_rows(graph.n_pad, block_edges)
+    den = ranked_segment_sum_table_t(ex, flat.rcv_rank, rows, block_edges,
+                                     win)
+    small = 1e-7  # SMALL_NUMBER
+    return ex / (ranked_expand_table_t(den, flat.rcv_rank, rows,
+                                       block_edges, win)
+                 + small)
+
+
 def dense_adjacency(graph, dtype=jnp.float32):
     """Materialize per-type dense adjacency matrices A_l [n_pad, n_pad] with
     A_l[v, u] = (number of type-l edges u->v). Built on device by a scalar

@@ -49,6 +49,8 @@ dominant [win, BE] MXU one-hots (and the RMW'd table slabs) by up to
 import functools
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -456,8 +458,17 @@ def _common_specs(num_chunks_per_step: int, be: int):
     ]
 
 
-def _params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+def _params(table_bytes: int = None):
+    """Compiler params with a vmem_limit sized to the kernel's RESIDENT
+    tables (+16 MB stream/one-hot headroom) instead of a blanket maximum:
+    over-reserving VMEM here starves XLA's memory-space assignment, which
+    otherwise pins the small gather source tables of the surrounding ops
+    into VMEM (S(1)) — measured 4.5x on the [E, D] message gathers."""
+    if table_bytes is None:
+        limit = _VMEM_LIMIT
+    else:
+        limit = min(_VMEM_LIMIT, int(table_bytes) + (16 << 20))
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 @functools.partial(jax.jit,
@@ -479,7 +490,7 @@ def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges, win=0):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rpad, dim), jnp.float32),
-        compiler_params=_params(),
+        compiler_params=_params(rpad * _ceil_mult(dim, 128) * 4),
         interpret=_interpret(),
     )(starts, blocks, msgs)
 
@@ -502,7 +513,8 @@ def _expand_impl(table, rcv_rank, *, block_edges, win=0):
         out_specs=pl.BlockSpec((STEP, dim), lambda c: (c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((e, dim), jnp.float32),
-        compiler_params=_params(),
+        compiler_params=_params(
+            table.shape[0] * _ceil_mult(dim, 128) * table.dtype.itemsize),
         interpret=_interpret(),
     )(starts, blocks, table)
 
@@ -589,7 +601,7 @@ def _wseg_impl(msgs, w, ranks, *, table_rows, num_heads, block_edges, win=0):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
-        compiler_params=_params(),
+        compiler_params=_params(table_rows * _ceil_mult(dim, 128) * 4),
         interpret=_interpret(),
     )(starts, blocks, msgs, w)
 
@@ -624,7 +636,8 @@ def _wseg_bwd_impl(msgs, w, g16, ranks, *, num_heads, block_edges, win=0):
             jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
             jax.ShapeDtypeStruct((e, num_heads), jnp.float32),
         ),
-        compiler_params=_params(),
+        compiler_params=_params(
+            g16.shape[0] * _ceil_mult(dim, 128) * 2),
         interpret=_interpret(),
     )(starts, blocks, msgs, w, g16)
 
@@ -662,6 +675,491 @@ def _wseg_vjp_bwd(table_rows, num_heads, block_edges, win, res, g):
 ranked_weighted_segment_sum.defvjp(_wseg_vjp_fwd, _wseg_vjp_bwd)
 
 
+# ---- typed-dense activate-aggregate (GNN-Edge-MLP hidden layers) -----------
+#
+# Per-edge TYPE-DEPENDENT dense stages (m_e = act(x_e @ W_{type_e}))
+# cannot ride the node-table trick (x_e mixes src and tgt state through a
+# nonlinearity). Materializing the one-hot form x @ [W_0|...|W_L] in HBM
+# costs E x L*D traffic; these kernels instead compute the L type-masked
+# matmuls per 256-edge sub-block in VMEM (weights resident — L*D*D bf16),
+# activate, and aggregate into the coarse receiver rank table in one
+# streaming pass. Backward mirrors it, accumulating dW [L, Dh, D] in a
+# VMEM scratch output and emitting the dx stream.
+
+
+def _typed_dense_agg_kernel(start_ref, rank_ref, type_ref, x_ref, w_ref,
+                            out_ref, *, be, rl, sub, n_types, act):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        x = x_ref[pl.ds(s * be, be), :].astype(jnp.bfloat16)  # [BE, Dh]
+        et = type_ref[s, :]  # [BE]
+        y = None
+        for l in range(n_types):
+            mask_l = (et == l).astype(jnp.float32)[:, None]
+            y_l = jnp.dot(x, w_ref[l], preferred_element_type=jnp.float32)
+            y = y_l * mask_l if y is None else y + y_l * mask_l
+        a = act(y).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, a, preferred_element_type=jnp.float32)
+        cur = out_ref[pl.ds(start, rl), :]
+        out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _typed_dense_agg_bwd_kernel(start_ref, rank_ref, type_ref, x_ref,
+                                w_ref, g_ref, dx_ref, dw_ref,
+                                *, be, rl, sub, n_types, act, dact):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        g_e = jnp.dot(
+            oh_t, g_ref[pl.ds(start, rl), :],
+            preferred_element_type=jnp.float32,
+        )  # [BE, D]
+        x = x_ref[pl.ds(s * be, be), :].astype(jnp.bfloat16)
+        et = type_ref[s, :]
+        dx = None
+        for l in range(n_types):
+            mask_l = (et == l).astype(jnp.float32)[:, None]
+            y_l = jnp.dot(x, w_ref[l], preferred_element_type=jnp.float32)
+            dz_l = (dact(y_l) * g_e * mask_l).astype(jnp.bfloat16)
+            dx_l = jax.lax.dot_general(
+                dz_l, w_ref[l], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BE, Dh]
+            dx = dx_l if dx is None else dx + dx_l
+            xm = (x.astype(jnp.float32) * mask_l).astype(jnp.bfloat16)
+            dw_l = jax.lax.dot_general(
+                xm, dz_l, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Dh, D]
+            dw_ref[l] = dw_ref[l] + dw_l
+        dx_ref[pl.ds(s * be, be), :] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges",
+                                             "act", "win"))
+def _typed_dense_agg_impl(x, w, types, ranks, *, table_rows, block_edges,
+                          act, win=0):
+    e, dh = x.shape
+    n_types, _, dim = w.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    tblocks = types.reshape(e // be, be)
+    kern = functools.partial(_typed_dense_agg_kernel, be=be, rl=rl, sub=sub,
+                             n_types=n_types, act=_ACTS[act][0])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((sub, be), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),  # type blocks
+            pl.BlockSpec((STEP, dh), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(table_rows * _ceil_mult(dim, 128) * 4
+                                + n_types * dh * dim * 2),
+        interpret=_interpret(),
+    )(starts, blocks, tblocks, x, w)
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _typed_dense_agg_bwd_impl(x, w, g16, types, ranks, *, block_edges,
+                              act, win=0):
+    e, dh = x.shape
+    n_types, _, dim = w.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    tblocks = types.reshape(e // be, be)
+    kern = functools.partial(_typed_dense_agg_bwd_kernel, be=be, rl=rl,
+                             sub=sub, n_types=n_types, act=_ACTS[act][0],
+                             dact=_ACTS[act][1])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((sub, be), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, dh), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bf16 g table resident
+        ],
+        out_specs=(
+            pl.BlockSpec((STEP, dh), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dW accumulator
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e, dh), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_types, dh, dim), jnp.float32),
+        ),
+        compiler_params=_params(
+            g16.shape[0] * _ceil_mult(dim, 128) * 2
+            + n_types * dh * dim * 6),
+        interpret=_interpret(),
+    )(starts, blocks, tblocks, x, w, g16)
+
+
+def typed_dense_agg_supported(num_edges: int, d_hidden: int, dim: int,
+                              n_types: int, act: str) -> bool:
+    """Eligibility of the fused typed-dense aggregate: per-sub-block L
+    masked matmuls are unrolled in-kernel, so keep L small (the scan path
+    serves VarMisuse-scale type counts)."""
+    return (act in _ACTS and n_types <= 8
+            and num_edges % STEP == 0 and num_edges >= STEP
+            and d_hidden % 8 == 0 and dim % 8 == 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def typed_dense_aggregate(x, w, types, ranks, table_rows: int,
+                          act: str = "relu", block_edges: int = 256,
+                          win: int = 0):
+    """Fused per-edge typed dense + activation + ranked aggregation:
+
+        table[r] = sum_{e: rank(e)==r} act(x_e @ w[type_e])
+
+    for a receiver-sorted stream with gap-free coarse ranks. The [E, D]
+    post-dense stream never exists in HBM; backward recomputes it and
+    accumulates dW in VMEM."""
+    return _typed_dense_agg_impl(x, w.astype(jnp.bfloat16), types, ranks,
+                                 table_rows=table_rows,
+                                 block_edges=block_edges, act=act, win=win)
+
+
+def _tda_fwd(x, w, types, ranks, table_rows, act, block_edges, win):
+    w16 = w.astype(jnp.bfloat16)
+    out = _typed_dense_agg_impl(x, w16, types, ranks,
+                                table_rows=table_rows,
+                                block_edges=block_edges, act=act, win=win)
+    return out, (x, w16, types, ranks, jnp.zeros((0,), w.dtype))
+
+
+def _tda_bwd(table_rows, act, block_edges, win, res, g):
+    x, w16, types, ranks, w_proto = res
+    dx, dw = _typed_dense_agg_bwd_impl(
+        x, w16, g.astype(jnp.bfloat16), types, ranks,
+        block_edges=block_edges, act=act, win=win,
+    )
+    return (dx.astype(x.dtype), dw.astype(w_proto.dtype), None, None)
+
+
+typed_dense_aggregate.defvjp(_tda_fwd, _tda_bwd)
+
+
+# ---- head-major (transposed) narrow-lane kernels ---------------------------
+#
+# Attention-style per-edge quantities are NARROW ([E, K], K ~ 4 heads).
+# XLA tiles 2-D f32 as (8, 128): a [E, 4] array occupies a full 128-lane
+# tile per 8 rows — a 32x physical inflation that turns every softmax
+# elementwise op into hundreds of MB of traffic (measured ~2.7 ms per op
+# at PPI scale). Head-major [K, E] arrays tile compactly (K sublanes x E
+# lanes), so the whole attention pipeline runs transposed; these kernel
+# variants consume/produce [K, E] streams and [K, RPAD] rank tables.
+
+
+def _lane_window(rl: int) -> int:
+    """Table-window size for LANE-dim (transposed) slabs: dynamic lane
+    slices must be 128-aligned on TPU, so starts round DOWN to 128 and
+    the window grows to cover the residual offset."""
+    return _ceil_mult(rl + 128, 128)
+
+
+def _segsum_t_kernel(start_ref, rank_ref, msg_ref, out_ref, *, be, rl, sub):
+    c = pl.program_id(0)
+    rlt = _lane_window(rl)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(
+            (start_ref[c * sub + s] // 128) * 128, 128
+        )
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rlt, be)
+        m_t = msg_ref[:, pl.ds(s * be, be)].astype(jnp.bfloat16)  # [K, BE]
+        contrib = jnp.dot(m_t, oh_t, preferred_element_type=jnp.float32)
+        cur = out_ref[:, pl.ds(start, rlt)]
+        out_ref[:, pl.ds(start, rlt)] = cur + contrib
+
+
+def _expand_t_kernel(start_ref, rank_ref, table_ref, out_ref,
+                     *, be, rl, sub):
+    c = pl.program_id(0)
+    rlt = _lane_window(rl)
+    for s in range(sub):
+        start = pl.multiple_of(
+            (start_ref[c * sub + s] // 128) * 128, 128
+        )
+        oh = _local_onehot(rank_ref[s, :], start, rlt, be)
+        slab = table_ref[:, pl.ds(start, rlt)].astype(jnp.bfloat16)
+        out_ref[:, pl.ds(s * be, be)] = jnp.dot(
+            slab, oh, preferred_element_type=jnp.float32,
+        )
+
+
+def _wseg_t_kernel(start_ref, rank_ref, msg_ref, wt_ref, out_ref,
+                   *, be, rl, sub, d, k):
+    """Weighted segment-sum with HEAD-MAJOR weights w_t [K, E]; the
+    replicate to D lanes happens in VMEM via one thin-K MXU contraction
+    per sub-block."""
+    c = pl.program_id(0)
+    rep = _head_replicate_matrix(k, d)  # [K, D]
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        w_slab = wt_ref[:, pl.ds(s * be, be)]  # [K, BE]
+        w_rep = jax.lax.dot_general(
+            w_slab, rep, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BE, D]
+        wm = (m * w_rep).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, wm, preferred_element_type=jnp.float32)
+        cur = out_ref[pl.ds(start, rl), :]
+        out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _wseg_t_bwd_kernel(start_ref, rank_ref, msg_ref, wt_ref, g_ref,
+                       dmsg_ref, dwt_ref, *, be, rl, sub, d, k):
+    c = pl.program_id(0)
+    rep = _head_replicate_matrix(k, d)
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        g_e = jnp.dot(
+            oh_t, g_ref[pl.ds(start, rl), :],
+            preferred_element_type=jnp.float32,
+        )  # [BE, D]
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        w_slab = wt_ref[:, pl.ds(s * be, be)]  # [K, BE]
+        w_rep = jax.lax.dot_general(
+            w_slab, rep, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BE, D]
+        dmsg_ref[pl.ds(s * be, be), :] = (g_e * w_rep).astype(dmsg_ref.dtype)
+        mg = (m * g_e).astype(jnp.bfloat16)  # [BE, D]
+        dwt_ref[:, pl.ds(s * be, be)] = jax.lax.dot_general(
+            rep.astype(jnp.bfloat16), mg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, BE]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("table_rows", "block_edges", "win"))
+def _segsum_t_impl(msgs_t, ranks, *, table_rows, block_edges, win=0):
+    k, e = msgs_t.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    # Lane-dim windows are 128-aligned (see _lane_window): pad the table
+    # so the widest aligned window stays in bounds, slice after.
+    rows_t = _ceil_mult(table_rows, 128) + _lane_window(rl)
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_segsum_t_kernel, be=be, rl=rl, sub=sub)
+    out = pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((k, STEP), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, rows_t), jnp.float32),
+        compiler_params=_params(k * rows_t * 4),
+        interpret=_interpret(),
+    )(starts, blocks, msgs_t)
+    return out[:, :table_rows]
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "win"))
+def _expand_t_impl(table_t, ranks, *, block_edges, win=0):
+    e = ranks.shape[0]
+    k = table_t.shape[0]
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    rows_t = _ceil_mult(table_t.shape[1], 128) + _lane_window(rl)
+    table_t = jnp.pad(table_t, ((0, 0), (0, rows_t - table_t.shape[1])))
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_expand_t_kernel, be=be, rl=rl, sub=sub)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole table resident
+        ],
+        out_specs=pl.BlockSpec((k, STEP), lambda c: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, e), jnp.float32),
+        compiler_params=_params(k * rows_t * 4),
+        interpret=_interpret(),
+    )(starts, blocks, table_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ranked_segment_sum_table_t(msgs_t, ranks, table_rows: int,
+                               block_edges: int = 256, win: int = 0):
+    """Head-major ranked segment-sum: [K, E] -> [K, table_rows] (f32)."""
+    return _segsum_t_impl(msgs_t, ranks, table_rows=table_rows,
+                          block_edges=block_edges, win=win)
+
+
+def _segsum_t_fwd(msgs_t, ranks, table_rows, block_edges, win):
+    out = _segsum_t_impl(msgs_t, ranks, table_rows=table_rows,
+                         block_edges=block_edges, win=win)
+    return out, (ranks, jnp.zeros((0,), msgs_t.dtype))
+
+
+def _segsum_t_bwd(table_rows, block_edges, win, res, g):
+    ranks, proto = res
+    d_msgs = _expand_t_impl(g, ranks, block_edges=block_edges, win=win)
+    return (d_msgs.astype(proto.dtype), None)
+
+
+ranked_segment_sum_table_t.defvjp(_segsum_t_fwd, _segsum_t_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ranked_expand_table_t(table_t, ranks, table_rows: int,
+                          block_edges: int = 256, win: int = 0):
+    """Head-major ranked expand: out[:, e] = table_t[:, rank[e]]."""
+    return _expand_t_impl(table_t, ranks, block_edges=block_edges, win=win)
+
+
+def _expand_t_fwd(table_t, ranks, table_rows, block_edges, win):
+    out = _expand_t_impl(table_t, ranks, block_edges=block_edges, win=win)
+    return out, (ranks, jnp.zeros((0,), table_t.dtype))
+
+
+def _expand_t_bwd(table_rows, block_edges, win, res, g):
+    ranks, proto = res
+    d_table = _segsum_t_impl(g, ranks, table_rows=table_rows,
+                             block_edges=block_edges, win=win)
+    return (d_table.astype(proto.dtype), None)
+
+
+ranked_expand_table_t.defvjp(_expand_t_fwd, _expand_t_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
+                                             "block_edges", "win"))
+def _wseg_t_impl(msgs, w_t, ranks, *, table_rows, num_heads, block_edges,
+                 win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_wseg_t_kernel, be=be, rl=rl, sub=sub, d=dim,
+                             k=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, STEP), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(table_rows * _ceil_mult(dim, 128) * 4),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, w_t)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_edges", "win"))
+def _wseg_t_bwd_impl(msgs, w_t, g16, ranks, *, num_heads, block_edges,
+                     win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_wseg_t_bwd_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, k=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, STEP), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bf16 g table resident
+        ],
+        out_specs=(
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, STEP), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((num_heads, e), jnp.float32),
+        ),
+        compiler_params=_params(
+            g16.shape[0] * _ceil_mult(dim, 128) * 2),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, w_t, g16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ranked_weighted_segment_sum_t(msgs, w_t, ranks, table_rows: int,
+                                  num_heads: int, block_edges: int = 256,
+                                  win: int = 0):
+    """Per-head weighted segment-sum with HEAD-MAJOR weights [K, E] (see
+    ranked_weighted_segment_sum; this variant keeps the narrow attention
+    arrays in their compact transposed layout end to end)."""
+    return _wseg_t_impl(msgs, w_t, ranks, table_rows=table_rows,
+                        num_heads=num_heads, block_edges=block_edges,
+                        win=win)
+
+
+def _wseg_t_vjp_fwd(msgs, w_t, ranks, table_rows, num_heads, block_edges,
+                    win):
+    out = _wseg_t_impl(msgs, w_t, ranks, table_rows=table_rows,
+                       num_heads=num_heads, block_edges=block_edges, win=win)
+    return out, (msgs, w_t, ranks)
+
+
+def _wseg_t_vjp_bwd(table_rows, num_heads, block_edges, win, res, g):
+    msgs, w_t, ranks = res
+    d_msgs, d_wt = _wseg_t_bwd_impl(msgs, w_t, g.astype(jnp.bfloat16),
+                                    ranks, num_heads=num_heads,
+                                    block_edges=block_edges, win=win)
+    return (d_msgs.astype(msgs.dtype), d_wt.astype(w_t.dtype), None)
+
+
+ranked_weighted_segment_sum_t.defvjp(_wseg_t_vjp_fwd, _wseg_t_vjp_bwd)
+
+
 # ---- fused FiLM modulate-activate-aggregate --------------------------------
 
 _ACTS = {
@@ -675,7 +1173,27 @@ _ACTS = {
     "elu": (lambda z: jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0),
             lambda z: jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))),
     "tanh": (jnp.tanh, lambda z: 1.0 - jnp.tanh(z) ** 2),
+    # erf formulation, matching nn/activations.py _gelu_erf (the
+    # reference's utils.py:52-56), NOT the tanh approximation. Mosaic has
+    # no erf lowering, so _erf_approx below (Abramowitz-Stegun 7.1.26,
+    # max abs err 1.5e-7 — far below the kernels' bf16 stream rounding).
+    "gelu": (
+        lambda z: 0.5 * z * (1.0 + _erf_approx(z * (2.0 ** -0.5))),
+        lambda z: (0.5 * (1.0 + _erf_approx(z * (2.0 ** -0.5)))
+                   + z * jnp.exp(-0.5 * z * z)
+                   * (1.0 / np.sqrt(2.0 * np.pi))),
+    ),
 }
+
+
+def _erf_approx(x):
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
 
 
 def film_act_supported(name: str) -> bool:
@@ -703,7 +1221,8 @@ def _film_fwd_impl(msgs, gb_table, ranks, *, block_edges, act, win=0):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rpad, dim), jnp.float32),
-        compiler_params=_params(),
+        compiler_params=_params(
+            rpad * (_ceil_mult(2 * dim, 128) * 2 + _ceil_mult(dim, 128) * 4)),
         interpret=_interpret(),
     )(starts, blocks, msgs, gb_table)
 
@@ -735,7 +1254,8 @@ def _film_bwd_impl(msgs, gbg_table, ranks, *, block_edges, act, win=0):
             jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
             jax.ShapeDtypeStruct((rpad, 2 * dim), jnp.float32),
         ),
-        compiler_params=_params(),
+        compiler_params=_params(
+            rpad * (_ceil_mult(3 * dim, 128) * 2 + _ceil_mult(2 * dim, 128) * 4)),
         interpret=_interpret(),
     )(starts, blocks, msgs, gbg_table)
 
@@ -773,7 +1293,8 @@ def _film_fwd_mask_impl(msgs, gb_table, ranks, *, block_edges, act, win=0):
             jax.ShapeDtypeStruct((rpad, dim), jnp.float32),
             jax.ShapeDtypeStruct((e, mlanes), jnp.float32),
         ),
-        compiler_params=_params(),
+        compiler_params=_params(
+            rpad * (_ceil_mult(2 * dim, 128) * 2 + _ceil_mult(dim, 128) * 4)),
         interpret=_interpret(),
     )(starts, blocks, msgs, gb_table)
 
@@ -798,7 +1319,8 @@ def _film_bwd_dgb_impl(msgs, gbg_table, ranks, *, block_edges, act, win=0):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rpad, 2 * dim), jnp.float32),
-        compiler_params=_params(),
+        compiler_params=_params(
+            rpad * (_ceil_mult(3 * dim, 128) * 2 + _ceil_mult(2 * dim, 128) * 4)),
         interpret=_interpret(),
     )(starts, blocks, msgs, gbg_table)
 
@@ -826,7 +1348,7 @@ def _masked_segsum_impl(mask_packed, c_e, ranks, *, table_rows, block_edges,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
-        compiler_params=_params(),
+        compiler_params=_params(table_rows * _ceil_mult(dim, 128) * 4),
         interpret=_interpret(),
     )(starts, blocks, mask_packed, c_e)
 
