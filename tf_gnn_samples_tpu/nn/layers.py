@@ -931,6 +931,38 @@ def _typed_neighbor_sums(h, graph: GraphBatch, normalize: bool,
                 s = s * (1.0 / (c + small))[:, None]
             parts.append(s)
         return jnp.stack(parts)
+    from ..ops import ranked_segment as rs
+
+    flat_g = graph.flat
+    L = graph.num_edge_types
+    d = h.shape[-1]
+    e_tot = flat_g.src_flat.shape[0] if flat_g is not None else 0
+    fine_rows = rs.fine_rank_table_rows(n_pad, L, e_tot, 256)
+    if (not force_scan
+            and getattr(flat_g, "fine_from_flat", None) is not None
+            and typed_edge_scan == "auto"
+            and ranked_aggregation_ok(graph, "sum", 1, d)
+            and rs.ranked_supported(e_tot, d, fine_rows)):
+        # ONE flat gather + ONE fine (receiver, type) ranked segment-sum
+        # replaces L gather/XLA-scatter pairs: S[l, v] is exactly the
+        # fine rank table row of group (v, l), read back with a dense
+        # row take via the host-precomputed inverse map.
+        table16 = jnp.broadcast_to(
+            h.astype(jnp.bfloat16)[None], (L,) + h.shape
+        ).reshape(L * n_pad, d)
+        m = gather_flat_src(table16, flat_g)
+        if normalize:
+            m = m.astype(jnp.float32) * flat_g.norm_scale[:, None]
+        win = token_window(flat_g.win_fine)
+        table = rs.ranked_segment_sum_table(
+            m, flat_g.tgt_rank, fine_rows, 256, win
+        )
+        valid = flat_g.fine_from_flat >= 0
+        s_flat = jnp.take(
+            table, jnp.maximum(flat_g.fine_from_flat, 0), axis=0
+        )
+        s_flat = jnp.where(valid[:, None], s_flat, 0.0)
+        return s_flat.reshape(L, n_pad, d)
     if scan_types_wanted(graph, typed_edge_scan):
         te = stack_edges(graph)
 

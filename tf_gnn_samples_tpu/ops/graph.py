@@ -116,6 +116,11 @@ class FlatEdges(NamedTuple):
     # receiver-side rank-table rows while iterating in source order
     # (ranked_segment.film_fused_src_pass).
     fine_rank_by_src: jnp.ndarray = None  # [E_tot] int32
+    # Inverse of fine_to_flat: fine rank of each (type, receiver) slot of
+    # a type-stacked node table (-1 = the slot receives no edges). Lets
+    # aggregate-first layers read per-(type, node) sums out of one fine
+    # rank table with a dense row take (no scatter).
+    fine_from_flat: jnp.ndarray = None  # [L * n_pad] int32
 
 
 class GraphBatch(NamedTuple):
@@ -377,11 +382,14 @@ def pad_graph_batch(
     rpad = fine_rank_table_rows(n_pad, L, int(tgt_rank.shape[0]), 256)
     fine_to_flat = np.zeros((rpad,), dtype=np.int32)
     fine_to_rcv = np.full((rpad,), n_pad, dtype=np.int32)
+    fine_from_flat = np.full((L * n_pad,), -1, dtype=np.int32)
     if tgt_rank.shape[0]:
         fine_to_flat[tgt_rank[is_new_f]] = np.minimum(
             tgt_sorted[is_new_f], L * n_pad - 1
         )
         fine_to_rcv[tgt_rank[is_new_f]] = rcv_sorted[is_new_f]
+        real_f = is_new_f & (tgt_sorted < L * n_pad)
+        fine_from_flat[tgt_sorted[real_f]] = tgt_rank[real_f]
 
     flat = FlatEdges(
         src_flat=src_in_stream,
@@ -405,6 +413,7 @@ def pad_graph_batch(
         fine_to_flat=fine_to_flat,
         fine_to_rcv=fine_to_rcv,
         fine_rank_by_src=tgt_rank[perm_by_src],
+        fine_from_flat=fine_from_flat,
     )
 
     return GraphBatch(
