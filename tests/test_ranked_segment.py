@@ -156,7 +156,11 @@ def test_supported_predicate():
                                    rs.rank_table_rows(300000, 256))
 
 
-def _random_graph_batch(rng, n=300, n_pad=512, L=2, e_per_type=900):
+def _random_graph_batch(rng, n=300, n_pad=512, L=2, e_per_type=1900):
+    # Dense enough (~6 edges per (receiver, type)) that the measured rank
+    # window is compressive (<= 64) and the ranked fast paths ENGAGE
+    # (layers.compressive_window); sparse graphs would silently fall back
+    # to the XLA paths and these tests would compare XLA against itself.
     from tf_gnn_samples_tpu.ops.graph import pad_graph_batch
     adj = [
         np.stack([rng.randint(0, n, size=e_per_type),
@@ -165,8 +169,11 @@ def _random_graph_batch(rng, n=300, n_pad=512, L=2, e_per_type=900):
     ]
     feats = rng.randn(n, 64).astype(np.float32)
     gids = np.zeros(n, dtype=np.int32)
-    return pad_graph_batch(feats, adj, gids, 1, n_pad=n_pad,
-                           e_pads=[1024, 1024], g_pad=16)
+    batch = pad_graph_batch(feats, adj, gids, 1, n_pad=n_pad,
+                            e_pads=[2048, 2048], g_pad=16)
+    from tf_gnn_samples_tpu.ops.graph import token_window
+    assert 0 < token_window(batch.flat.win_fine) <= 64
+    return batch
 
 
 def test_film_layer_fused_matches_segment_path():

@@ -75,6 +75,17 @@ def typed_transform(h, W):
     return jnp.einsum("nd,lde->lne", h, W, preferred_element_type=jnp.float32)
 
 
+
+def compressive_window(flat) -> bool:
+    """Heuristic gate for the ranked fast paths: engage only when the
+    host-measured rank window actually compresses the kernels' one-hot
+    work (dense per-type degree; PPI measures 32). At win >= 128 —
+    sparse-degree shapes like QM9 / VarMisuse — the scan/unroll XLA
+    paths match or beat the ranked kernels (tools/typed_scale_prof.py:
+    RGIN at L=22, deg 2/type: ranked 50 ms vs scan/unroll ~35 ms)."""
+    w = token_window(flat.win_fine)
+    return 0 < w <= 64
+
 def use_dense_strategy(graph: GraphBatch, aggregation: str, strategy: str) -> bool:
     """Pick the aggregation execution strategy for LINEAR-message layers.
 
@@ -654,6 +665,7 @@ def rgin_apply(
         num_edge_MLP_hidden_layers is not None
         and not use_target_state_as_input
         and typed_edge_scan == "auto"
+        and compressive_window(graph.flat)
         and ranked_aggregation_ok(
             graph, message_aggregation_function, 1, h.shape[-1]
         )
@@ -739,6 +751,7 @@ def gnn_edge_mlp_apply(
     ranked = (
         not use_target_state_as_input
         and typed_edge_scan == "auto"
+        and compressive_window(graph.flat)
         and ranked_aggregation_ok(
             graph, message_aggregation_function, 1, d0
         )
@@ -752,6 +765,7 @@ def gnn_edge_mlp_apply(
         and num_edge_hidden_layers == 0
         and typed_edge_scan == "auto"
         and message_aggregation_function in ("sum", "unsorted_segment_sum")
+        and compressive_window(graph.flat)
         and rs.film_act_supported(activation_function.lower())
         and ranked_aggregation_ok(graph, "sum", 1, d0, film=True)
     )
@@ -765,6 +779,7 @@ def gnn_edge_mlp_apply(
         and not normalize_by_num_incoming
         and typed_edge_scan == "auto"
         and message_aggregation_function in ("sum", "unsorted_segment_sum")
+        and compressive_window(graph.flat)
         and ranked_aggregation_ok(graph, "sum", 1, d0)
         and rs.typed_dense_agg_supported(
             graph.flat.rcv_rank.shape[0], d0, d0, graph.num_edge_types,
@@ -941,6 +956,7 @@ def _typed_neighbor_sums(h, graph: GraphBatch, normalize: bool,
     if (not force_scan
             and getattr(flat_g, "fine_from_flat", None) is not None
             and typed_edge_scan == "auto"
+            and compressive_window(flat_g)
             and ranked_aggregation_ok(graph, "sum", 1, d)
             and rs.ranked_supported(e_tot, d, fine_rows)):
         # ONE flat gather + ONE fine (receiver, type) ranked segment-sum
