@@ -578,3 +578,93 @@ def test_rgdcn_flat_ranked_neighbor_sums_match():
                     jax.tree_util.tree_leaves(g_rank)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=8e-2, atol=8e-1)
+
+
+def test_transposed_kernels_match_oracles():
+    """Head-major segsum_t/expand_t and the transposed weighted segsum
+    must match their row-major oracles (including VJPs)."""
+    rng = np.random.RandomState(31)
+    e_tot, n_real, n_pad, d, k = 4096, 250, 256, 64, 4
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    rows = rs.rank_table_rows(n_pad, 256)
+    ranks_j = jnp.asarray(rank)
+
+    m_t = jnp.asarray(rng.randn(k, e_tot).astype(np.float32))
+    out_t = rs.ranked_segment_sum_table_t(m_t, ranks_j, rows, 256)
+    ref = rs.xla_segment_sum_table(m_t.T, ranks_j, rows, 256)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref).T,
+                               rtol=2e-2, atol=2e-1)
+
+    table_t = jnp.asarray(rng.randn(k, rows).astype(np.float32))
+    exp_t = rs.ranked_expand_table_t(table_t, ranks_j, rows, 256)
+    exp_ref = rs.xla_expand_table(table_t.T, ranks_j, rows, 256)
+    np.testing.assert_allclose(np.asarray(exp_t), np.asarray(exp_ref).T,
+                               rtol=2e-2, atol=2e-2)
+
+    # weighted segsum: w head-major [K, E] vs row-major oracle
+    msgs = jnp.asarray(rng.randn(e_tot, d).astype(np.float32))
+    w_t = jnp.asarray(rng.rand(k, e_tot).astype(np.float32))
+
+    def loss_t(m, w):
+        return jnp.sum(rs.ranked_weighted_segment_sum_t(
+            m, w, ranks_j, rows, k, 256) ** 2)
+
+    def loss_row(m, w):
+        return jnp.sum(rs.ranked_weighted_segment_sum(
+            m, w.T, ranks_j, rows, k, 256) ** 2)
+
+    np.testing.assert_allclose(float(loss_t(msgs, w_t)),
+                               float(loss_row(msgs, w_t)),
+                               rtol=3e-2)
+    gm_t, gw_t = jax.grad(loss_t, argnums=(0, 1))(msgs, w_t)
+    gm_r, gw_r = jax.grad(loss_row, argnums=(0, 1))(msgs, w_t)
+    np.testing.assert_allclose(np.asarray(gm_t), np.asarray(gm_r),
+                               rtol=5e-2, atol=5e-1)
+    # loss_row transposes INSIDE, so its grad w.r.t. w_t is already [K, E]
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_r),
+                               rtol=5e-2, atol=5e-1)
+
+
+def test_typed_dense_aggregate_matches_oracle():
+    """Fused typed-dense aggregate vs an explicit XLA formulation,
+    forward and VJPs (dx and dW)."""
+    rng = np.random.RandomState(37)
+    e_tot, n_real, n_pad, dh, d, L = 2048, 120, 128, 32, 32, 3
+    rank, _, _, _ = make_stream(rng, e_tot, n_real, n_pad)
+    rows = rs.rank_table_rows(n_pad, 256)
+    ranks_j = jnp.asarray(rank)
+    types = jnp.asarray(rng.randint(0, L, size=e_tot), jnp.int32)
+    x = jnp.asarray(rng.randn(e_tot, dh), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(L, dh, d).astype(np.float32))
+
+    def oracle(xx, ww):
+        # Quantize w like the kernel (bf16 operands, f32 accumulate) so
+        # relu' boundary decisions agree between the two formulations.
+        w16 = ww.astype(jnp.bfloat16).astype(jnp.float32)
+        y = jnp.einsum("eh,lhd->eld", xx.astype(jnp.float32), w16)
+        sel = jax.nn.one_hot(types, L, dtype=jnp.float32)
+        z = jnp.einsum("eld,el->ed", y, sel)
+        a = jnp.maximum(z, 0.0)
+        return rs.xla_segment_sum_table(a, ranks_j, rows, 256)
+
+    out = rs.typed_dense_aggregate(x, w, types, ranks_j, rows, "relu", 256)
+    ref = oracle(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-2, atol=5e-1)
+
+    wgt = jnp.asarray(rng.randn(rows, d).astype(np.float32))
+
+    def loss_k(xx, ww):
+        return jnp.sum(rs.typed_dense_aggregate(
+            xx, ww, types, ranks_j, rows, "relu", 256) * wgt)
+
+    def loss_o(xx, ww):
+        return jnp.sum(oracle(xx, ww) * wgt)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    go = jax.grad(loss_o, argnums=(0, 1))(x, w)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(go)):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b, np.float32),
+            rtol=8e-2, atol=8e-1)

@@ -962,9 +962,10 @@ def _wseg_t_bwd_kernel(start_ref, rank_ref, msg_ref, wt_ref, g_ref,
             preferred_element_type=jnp.float32,
         )  # [BE, D]
         dmsg_ref[pl.ds(s * be, be), :] = (g_e * w_rep).astype(dmsg_ref.dtype)
-        mg = (m * g_e).astype(jnp.bfloat16)  # [BE, D]
+        # f32 contraction, matching the row-major kernel's dw precision
+        # (attention-vector gradients are small reductions — keep exact).
         dwt_ref[:, pl.ds(s * be, be)] = jax.lax.dot_general(
-            rep.astype(jnp.bfloat16), mg, (((1,), (1,)), ((), ())),
+            rep, m * g_e, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [K, BE]
 
