@@ -98,7 +98,12 @@ def compute_batch_spec(
             max_graph_edges[l] = max(max_graph_edges[l], e)
     if min_nodes is None:
         min_nodes = 1
-    n_pad = bucket_size(max(max_nodes, max_graph_nodes), min_size=min_bucket)
+    # 16 buckets/octave: with ONE spec per fold the bucket only controls
+    # cross-fold shape reuse, and coarse rounding is quadratically
+    # expensive for the dense-adjacency families (4/octave rounded a
+    # 12500-node budget to 14336 — +31% on every A @ t matmul).
+    n_pad = bucket_size(max(max_nodes, max_graph_nodes),
+                        min_size=min_bucket, buckets_per_octave=16)
 
     nodes_arr = np.array([max(int(n), 1) for n, _ in graph_sizes],
                          dtype=np.int64)
