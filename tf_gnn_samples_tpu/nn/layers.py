@@ -51,7 +51,6 @@ from ..ops.edge_ops import (
     ranked_aggregation_ok,
     ranked_table_to_nodes,
     segment_softmax_flat,
-    segment_softmax_flat_ranked,
     segment_softmax_flat_ranked_t,
 )
 from ..ops.graph import GraphBatch, token_window
