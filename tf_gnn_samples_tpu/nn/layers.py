@@ -505,17 +505,20 @@ def gnn_film_apply(
                 splits == 1
                 and not normalize_by_num_incoming
                 and getattr(flat_g, "fine_rank_by_src", None) is not None
+                and getattr(flat_g, "src_from_rank", None) is not None
                 and rs.film_fused_src_supported(
-                    act_name, e_tot, d, gb_ranked.shape[0]
+                    act_name, e_tot, d, gb_ranked.shape[0],
+                    flat_g.src_from_rank.shape[0],
                 )
             )
             if gather_fusible:
-                # Source-gather-fused pass: backward computes dt in
+                # Source-gather-fused pass: backward recomputes dt in
                 # src-sorted order from small tables — no [E, D] permute.
                 table = rs.film_fused_src_pass(
-                    t_flat, gb_ranked, flat_g.src_flat, flat_g.perm_by_src,
+                    t_flat, gb_ranked, flat_g.src_flat,
                     flat_g.fine_rank_by_src, flat_g.src_sorted_rank,
-                    flat_g.src_to_rank, flat_g.tgt_rank, act_name, 256,
+                    flat_g.src_to_rank, flat_g.src_from_rank,
+                    flat_g.tgt_rank, act_name, 256,
                     win, token_window(flat_g.win_src),
                 )
                 agg = fine_table_to_nodes(table, graph)

@@ -121,6 +121,12 @@ class FlatEdges(NamedTuple):
     # aggregate-first layers read per-(type, node) sums out of one fine
     # rank table with a dense row take (no scatter).
     fine_from_flat: jnp.ndarray = None  # [L * n_pad] int32
+    # Inverse of src_to_rank, sized to the static SRC rank-table height
+    # (ranked_segment.src_rank_table_rows): flat node-table row of each
+    # (type, sender) src rank, 0 for slack rows. Lets src-order backward
+    # kernels build a VMEM-resident rank-ordered message table with one
+    # small row take (ranked_segment.film_fused_src_pass).
+    src_from_rank: jnp.ndarray = None  # [R_src] int32
 
 
 class GraphBatch(NamedTuple):
@@ -377,7 +383,20 @@ def pad_graph_batch(
 
     # Fine-rank maps, precomputed so the jit path never scatters them
     # (mirrors edge_ops.fine_rank_to_flat / fine_rank_to_receiver):
-    from .ranked_segment import fine_rank_table_rows
+    from .ranked_segment import fine_rank_table_rows, src_rank_table_rows
+
+    e_tot = int(src_sorted_rank.shape[0])
+    src_from_rank = np.zeros(
+        (src_rank_table_rows(L * n_pad, e_tot, 256),), dtype=np.int32
+    )
+    if e_tot:
+        svals = src_in_stream[perm_by_src]
+        snew = np.empty(e_tot, dtype=bool)
+        snew[0] = True
+        snew[1:] = svals[1:] != svals[:-1]
+        src_from_rank[src_sorted_rank[snew]] = np.minimum(
+            svals[snew], L * n_pad - 1
+        )
 
     rpad = fine_rank_table_rows(n_pad, L, int(tgt_rank.shape[0]), 256)
     fine_to_flat = np.zeros((rpad,), dtype=np.int32)
@@ -414,6 +433,7 @@ def pad_graph_batch(
         fine_to_rcv=fine_to_rcv,
         fine_rank_by_src=tgt_rank[perm_by_src],
         fine_from_flat=fine_from_flat,
+        src_from_rank=src_from_rank,
     )
 
     return GraphBatch(

@@ -92,6 +92,15 @@ def fine_rank_table_rows(n_pad: int, num_edge_types: int, num_edges: int,
     return _ceil_mult(groups, 8) + block_edges + 8
 
 
+def src_rank_table_rows(t_rows: int, num_edges: int,
+                        block_edges: int = 256) -> int:
+    """Static SRC rank-table height for the source-sorted stream: (type,
+    sender) group ranks are gap-free over distinct groups (<= min(t_rows
+    + 1 dump, E)), plus aligned-window slack. `t_rows` is the type-stacked
+    node-table height L * n_pad."""
+    return _ceil_mult(min(t_rows + 1, num_edges), 8) + block_edges + 8
+
+
 def ranked_supported(num_edges: int, dim: int, table_rows: int,
                      block_edges: int = 256, extra_table_cols: int = 0) -> bool:
     """Whether the streaming kernels apply to this (E, D, table) shape."""
@@ -406,6 +415,37 @@ def _masked_segsum_kernel(start_ref, rank_ref, mask_ref, c_ref, out_ref,
         contrib = jnp.dot(oh, dmsg, preferred_element_type=jnp.float32)
         cur = out_ref[pl.ds(start, rl), :]
         out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _film_src_bwd_kernel(start_ref, rank_ref, gcb_ref, t_ref, dt_ref,
+                         *, be, rl, sub, d, dact):
+    """dt half of the FiLM backward over the SOURCE-sorted stream.
+
+    Recomputes z = gamma * m + beta in source order — m expanded in-VMEM
+    from the src-rank message table (windowed one-hot MXU expand, exactly
+    the bf16 rows the forward gathered, so z is bitwise the forward's) —
+    and accumulates dact(z) * C into the src rank table, which IS dt in
+    rank space. The gcb stream carries gamma | beta | C (= gamma * g)
+    gathered by XLA from a small fine-rank table; nothing [E, D]-shaped is
+    ever permuted or transported between edge orders."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        t_slab = t_ref[pl.ds(start, rl), :]  # bf16 [RL, D]
+        m = jnp.dot(oh_t, t_slab, preferred_element_type=jnp.float32)
+        gcb = gcb_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        z = gcb[:, :d] * m + gcb[:, d:2 * d]
+        dmsg = (dact(z) * gcb[:, 2 * d:]).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, dmsg, preferred_element_type=jnp.float32)
+        cur = dt_ref[pl.ds(start, rl), :]
+        dt_ref[pl.ds(start, rl), :] = cur + contrib
 
 
 def _film_bwd_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
@@ -1354,86 +1394,120 @@ def _masked_segsum_impl(mask_packed, c_e, ranks, *, table_rows, block_edges,
     )(starts, blocks, mask_packed, c_e)
 
 
-# The gather-fused src pass is OFF by default: on the current v5e the
-# packed-mask permute + C-table gather land within noise of the plain
-# [E, D] cotangent permute they replace (XLA gathers are row-rate limited
-# at ~100M rows/s from large sources and ~325M rows/s from VMEM-staged
-# small ones, so ANY per-edge reorder costs ~1.2-5 ms at PPI scale — see
-# docs/PERFORMANCE.md). Kept behind this switch as infrastructure: on
-# hardware/XLA versions with faster small-row gathers it removes the
-# step's single hottest op.
-ENABLE_FUSED_SRC_PASS = False
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges",
+                                             "act", "win"))
+def _film_src_bwd_impl(gcb_src, t_ranked, ranks, *, table_rows, block_edges,
+                       act, win=0):
+    e = ranks.shape[0]
+    dim = t_ranked.shape[1]
+    assert gcb_src.shape == (e, 3 * dim), (gcb_src.shape, e, dim)
+    assert t_ranked.shape[0] == table_rows, (t_ranked.shape, table_rows)
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_film_src_bwd_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, dact=_ACTS[act][1])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, 3 * dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # t rank table resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(
+            table_rows * _ceil_mult(dim, 128) * (2 + 4)),
+        interpret=_interpret(),
+    )(starts, blocks, gcb_src, t_ranked)
+
+
+# The src-recompute pass replaces the step's single hottest op — the
+# tile-amplified [E, D] cotangent permute of the generic gather VJP (a
+# random row gather reads 3 full (16, 128) tiles per 320-lane row; XLA
+# row gathers are row-rate limited at ~100M rows/s from large sources) —
+# with ONE small-table row gather (~325M rows/s from a VMEM-staged
+# source) plus a streaming kernel. Escape hatch for debugging only.
+ENABLE_FUSED_SRC_PASS = True
 
 
 def film_fused_src_supported(act: str, num_edges: int, dim: int,
-                             table_rows: int) -> bool:
-    """Eligibility of the gather-fused FiLM pass: maskable activation and
-    the unsplit kernel shapes fit VMEM."""
-    return (ENABLE_FUSED_SRC_PASS
-            and act in MASKABLE_ACTS
+                             table_rows: int, src_rows: int) -> bool:
+    """Eligibility of the gather-fused FiLM pass: known activation and the
+    unsplit receiver-side kernels plus the src-side recompute kernel
+    (resident bf16 t table + f32 dt table + double-buffered [STEP, 3D]
+    bf16 stream) fit VMEM."""
+    if not (ENABLE_FUSED_SRC_PASS and act in _ACTS):
+        return False
+    lane_d = _ceil_mult(dim, 128)
+    lane_3d = _ceil_mult(3 * dim, 128)
+    src_vmem = src_rows * lane_d * (2 + 4) + 2 * STEP * lane_3d * 2
+    return (src_vmem <= _VMEM_BUDGET
             and film_ranked_supported(num_edges, dim, table_rows))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def film_fused_src_pass(t_flat, gb_table, src_idx, perm_by_src,
-                        fine_rank_by_src, src_sorted_rank, src_to_rank,
+def film_fused_src_pass(t_flat, gb_table, src_idx, fine_rank_by_src,
+                        src_sorted_rank, src_to_rank, src_from_rank,
                         ranks, act: str, block_edges: int,
                         win_fine: int, win_src: int):
     """FiLM message pass with the source-side gather fused into the VJP.
 
     Forward: gather m = t_flat[src_idx] (XLA take from the small type-
     stacked table — write-bound) and run the fused modulate-activate-
-    aggregate kernel, which also emits a PACKED sign mask of z per edge.
+    aggregate kernel.
 
     Backward avoids the tile-amplified [E, D] cotangent permute of the
-    generic gather VJP (the measured hot op of the FiLM step: a random
-    row gather reads 3 full (16, 128) tiles per 320-lane row — ~4.8 GB at
-    PPI scale). Instead it reconstructs d_msgs in SOURCE-sorted order
-    from small-table gathers only:
-        dmsg_e = act'(z_e) * gamma_e * g_e = factor(mask_e) * C[r_e]
-    with C = gamma * g a [RPAD, D] rank table, mask the packed forward
-    sign bits ([E, D/16] — one 4 KB tile per row instead of three), and
-    factor affine in the mask (relu / leaky_relu). A windowed streaming
-    segment-sum by source rank then yields dt directly.
+    generic gather VJP (the measured hot op of the FiLM step) by
+    RECOMPUTING dmsg in SOURCE-sorted order:
+        dmsg_e = act'(z_e) * gamma_e * g_e = act'(z_e) * C[fine_e]
+    where z is rebuilt inside the src-side kernel — m expanded in-VMEM
+    from the src-rank message table t_flat[src_from_rank] (bitwise the
+    forward's bf16 rows), gamma | beta | C (= gamma * g) arriving as ONE
+    XLA row gather from a small [RPAD, 3D] bf16 fine-rank table — and the
+    windowed streaming segment-sum by source rank yields dt directly.
+    Works for every supported activation (act'(z) is available, not just
+    a sign mask).
     """
     gb16 = gb_table.astype(jnp.bfloat16)
-    m = jnp.take(t_flat, src_idx, axis=0, mode="clip")
-    table, _ = _film_fwd_mask_impl(m, gb16, ranks, block_edges=block_edges,
-                                   act=act, win=win_fine)
-    return table
+    m = jnp.take(t_flat.astype(jnp.bfloat16), src_idx, axis=0, mode="clip")
+    return _film_fwd_impl(m, gb16, ranks, block_edges=block_edges,
+                          act=act, win=win_fine)
 
 
-def _ffsp_fwd(t_flat, gb_table, src_idx, perm_by_src, fine_rank_by_src,
-              src_sorted_rank, src_to_rank, ranks, act, block_edges,
-              win_fine, win_src):
+def _ffsp_fwd(t_flat, gb_table, src_idx, fine_rank_by_src,
+              src_sorted_rank, src_to_rank, src_from_rank, ranks, act,
+              block_edges, win_fine, win_src):
     gb16 = gb_table.astype(jnp.bfloat16)
-    m = jnp.take(t_flat, src_idx, axis=0, mode="clip")
-    table, maskp = _film_fwd_mask_impl(m, gb16, ranks,
-                                       block_edges=block_edges, act=act,
-                                       win=win_fine)
-    res = (m, gb16, maskp, perm_by_src, fine_rank_by_src, src_sorted_rank,
-           src_to_rank, ranks, jnp.zeros((0,), t_flat.dtype),
-           jnp.zeros((0,), gb_table.dtype), t_flat.shape[0])
+    t16 = t_flat.astype(jnp.bfloat16)
+    m = jnp.take(t16, src_idx, axis=0, mode="clip")
+    table = _film_fwd_impl(m, gb16, ranks, block_edges=block_edges,
+                           act=act, win=win_fine)
+    res = (m, gb16, t16, fine_rank_by_src, src_sorted_rank, src_to_rank,
+           src_from_rank, ranks, jnp.zeros((0,), t_flat.dtype),
+           jnp.zeros((0,), gb_table.dtype))
     return table, res
 
 
 def _ffsp_bwd(act, block_edges, win_fine, win_src, res, g):
-    (m, gb16, maskp, perm_by_src, fine_rank_by_src, src_sorted_rank,
-     src_to_rank, ranks, t_proto, gb_proto, t_rows) = res
+    (m, gb16, t16, fine_rank_by_src, src_sorted_rank, src_to_rank,
+     src_from_rank, ranks, t_proto, gb_proto) = res
     d = m.shape[1]
     g16 = g.astype(jnp.bfloat16)
     gbg = jnp.concatenate([gb16, g16], axis=1)
     dgb = _film_bwd_dgb_impl(m, gbg, ranks, block_edges=block_edges,
                              act=act, win=win_fine)
-    # dt in SOURCE-sorted order from small tables (see film_fused_src_pass):
-    c_table = gb16[:, :d] * g16  # [RPAD, D] bf16
-    maskp_src = jnp.take(maskp, perm_by_src, axis=0, mode="clip")
-    c_src = jnp.take(c_table, fine_rank_by_src, axis=0, mode="clip")
-    e_tot = m.shape[0]
-    rows = _ceil_mult(min(t_rows + 1, e_tot), 8) + block_edges + 8
-    dt_table = _masked_segsum_impl(
-        maskp_src, c_src, src_sorted_rank, table_rows=rows,
-        block_edges=block_edges, leak=MASKABLE_ACTS[act], win=win_src,
+    # dt via src-order recompute (see film_fused_src_pass): one [E, 3D]
+    # row gather from the small fine table, then one streaming kernel.
+    gcb_table = jnp.concatenate([gb16, gb16[:, :d] * g16], axis=1)
+    gcb_src = jnp.take(gcb_table, fine_rank_by_src, axis=0, mode="clip")
+    t_ranked = jnp.take(t16, src_from_rank, axis=0, mode="clip")
+    dt_table = _film_src_bwd_impl(
+        gcb_src, t_ranked, src_sorted_rank,
+        table_rows=src_from_rank.shape[0], block_edges=block_edges,
+        act=act, win=win_src,
     )
     valid = src_to_rank >= 0
     d_t = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
