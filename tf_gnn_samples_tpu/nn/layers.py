@@ -44,6 +44,7 @@ from ..ops.edge_ops import (
     gather_flat_tgt,
     fine_rank_to_flat,
     fine_table_to_nodes,
+    take_by_fine_rank,
     gather_src,
     gather_src_stacked,
     gather_tgt,
@@ -375,9 +376,8 @@ def rgat_apply(
                 logits_all_t.reshape(L, num_heads, e_tot), type_oh_t,
             )
 
-            rank_nodes = fine_rank_to_flat(graph)
-            lt_ranked_t = jnp.take(
-                _flat(logit_tgt), rank_nodes, axis=0, mode="clip"
+            lt_ranked_t = take_by_fine_rank(
+                _flat(logit_tgt), graph
             ).T  # [K, RPAD] (tiny transpose)
             win = token_window(graph.flat.win_fine)
             ltgt_t = rs.ranked_expand_table_t(
@@ -496,8 +496,7 @@ def gnn_film_apply(
         if fused:
             flat_g = graph.flat
             e_tot = flat_g.src_flat.shape[0]
-            rank_nodes = fine_rank_to_flat(graph)
-            gb_ranked = jnp.take(_flat(film), rank_nodes, axis=0, mode="clip")
+            gb_ranked = take_by_fine_rank(_flat(film), graph)
             act_name = activation_function.lower()
             win = token_window(flat_g.win_fine)
             splits = rs.film_column_splits(e_tot, d, gb_ranked.shape[0])
@@ -793,8 +792,7 @@ def gnn_edge_mlp_apply(
             W0, W1 = params["edge_mlp"]
             ts = typed_transform(h, W0[:, :d0, :])
             tt = typed_transform(h, W0[:, d0:, :])
-            rank_nodes = fine_rank_to_flat(graph)
-            beta = jnp.take(_flat(tt), rank_nodes, axis=0, mode="clip")
+            beta = take_by_fine_rank(_flat(tt), graph)
             win = token_window(graph.flat.win_fine)
             m = gather_flat_src(
                 _flat(ts).astype(jnp.bfloat16), graph.flat
@@ -813,9 +811,9 @@ def gnn_edge_mlp_apply(
             W0 = params["edge_mlp"][0]
             ts = typed_transform(h, W0[:, :d0, :])
             tt = typed_transform(h, W0[:, d0:, :])
-            rank_nodes = fine_rank_to_flat(graph)
-            beta = jnp.take(_flat(tt), rank_nodes, axis=0, mode="clip")
+            beta = take_by_fine_rank(_flat(tt), graph)
             if normalize_by_num_incoming:
+                rank_nodes = fine_rank_to_flat(graph)
                 small = 1e-7  # SMALL_NUMBER
                 counts_flat = graph.typed_incoming_counts.reshape(-1)
                 scale = 1.0 / (jnp.take(

@@ -312,6 +312,46 @@ def fine_rank_to_flat(graph):
     )
 
 
+@jax.custom_vjp
+def _injective_take(table, fwd_idx, inv_idx):
+    return jnp.take(table, fwd_idx, axis=0, mode="clip")
+
+
+def _injective_take_fwd(table, fwd_idx, inv_idx):
+    out = _injective_take(table, fwd_idx, inv_idx)
+    return out, (inv_idx, jnp.zeros((0,), table.dtype))
+
+
+def _injective_take_bwd(res, g):
+    inv_idx, proto = res
+    d = jnp.take(g, jnp.maximum(inv_idx, 0), axis=0)
+    d = jnp.where((inv_idx >= 0)[:, None], d, 0.0).astype(proto.dtype)
+    return (d, None, None)
+
+
+_injective_take.defvjp(_injective_take_fwd, _injective_take_bwd)
+
+
+def take_by_fine_rank(table_flat, graph):
+    """table_flat rows at each FINE (receiver, type) rank.
+
+    fine_to_flat hits every real flat slot at most once (distinct fine
+    groups occupy distinct (type, receiver) slots), and the ranks it
+    maps non-injectively — slack rows (-> row 0) and the padded-edge dump
+    group (-> the last row) — carry exactly-zero cotangents (their table
+    rows reduce to the sliced-off dump node or to nothing). So the VJP is
+    the INVERSE take through fine_from_flat instead of XLA's scatter-add
+    (measured 0.57 ms per [18k, 640] scatter at PPI scale vs ~0.1 ms for
+    a take)."""
+    flat = graph.flat
+    if (getattr(flat, "fine_from_flat", None) is not None
+            and getattr(flat, "fine_to_flat", None) is not None):
+        return _injective_take(table_flat, flat.fine_to_flat,
+                               flat.fine_from_flat)
+    return jnp.take(table_flat, fine_rank_to_flat(graph), axis=0,
+                    mode="clip")
+
+
 def fine_rank_to_receiver(graph):
     """Receiver node id per fine rank (nondecreasing; slack rows -> dump
     row n_pad so sorted segment ops stay valid). Host-precomputed when

@@ -102,7 +102,8 @@ def main():
     dt = (time.time() - t0) / reps
     print("step: %.2f ms on %d edges -> %.2fM edges/s"
           % (dt * 1e3, b.num_edges, b.num_edges / dt / 1e6))
-    top_ops_from_trace(trace_dir)
+    top = int(os.environ.get("TRACE_TOP", "30"))
+    top_ops_from_trace(trace_dir, top=top)
 
 
 if __name__ == "__main__":
