@@ -227,7 +227,13 @@ def test_dp_matches_single_device(tiny):
     from tf_gnn_samples_tpu.parallel import make_mesh, make_dp_train_step, stack_task_batches
 
     model, task, samples = tiny
-    batches = _get_batches(task, samples, 100)
+    # A DP group must share one pytree shape; the runtime groups by
+    # batch_shape_key, this test just asks for a single-bucket fold.
+    task.params["batch_spec_buckets"] = 1
+    try:
+        batches = _get_batches(task, samples, 101)
+    finally:
+        del task.params["batch_spec_buckets"]
     assert len(batches) >= 2, "need at least two batches"
     b0, b1 = batches[0], batches[1]
 
@@ -274,7 +280,11 @@ def test_dp_eval_metrics_sum(tiny):
     from tf_gnn_samples_tpu.parallel.data_parallel import make_dp_eval_step
 
     model, task, samples = tiny
-    batches = _get_batches(task, samples, 100)
+    task.params["batch_spec_buckets"] = 1  # stacked pair: one shape
+    try:
+        batches = _get_batches(task, samples, 101)
+    finally:
+        del task.params["batch_spec_buckets"]
     b0, b1 = batches[0], batches[1]
     mesh = make_mesh(2)
     eval_step = make_dp_eval_step(model, mesh)

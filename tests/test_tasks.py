@@ -386,3 +386,113 @@ def test_varmisuse_streaming_trains_end_to_end(tmp_path):
     losses = _short_train(model, task, epochs=2)
     assert np.isfinite(losses).all()
     assert model._batch_cache.get(DataFold.TRAIN) is None
+
+
+# ---------------------------------------------------------------------------
+# Multi-bucket batch specs
+# ---------------------------------------------------------------------------
+
+
+def test_compute_batch_specs_levels_and_selection():
+    from tf_gnn_samples_tpu.tasks.base import (
+        compute_batch_spec, compute_batch_specs, select_spec,
+    )
+
+    rng = np.random.RandomState(7)
+    sizes = [
+        (int(rng.randint(800, 2500)),
+         [int(rng.randint(5000, 60000)) for _ in range(3)])
+        for _ in range(40)
+    ]
+    specs = compute_batch_specs(sizes, 6000, 3, num_buckets=3)
+    # The last spec is the packing spec (== the single-shape variant).
+    assert specs[-1] == compute_batch_spec(sizes, 6000, 3)
+    # Ascending node levels, each strictly below the max level.
+    n_pads = [s.n_pad for s in specs]
+    assert n_pads == sorted(n_pads)
+    assert all(s.n_pad < specs[-1].n_pad for s in specs[:-1])
+    # Every spec's edge pads stay multiples of the Pallas grid block.
+    for s in specs:
+        assert all(e % 2048 == 0 for e in s.e_pads)
+    # Selection: something below the smallest level picks it; an
+    # impossible requirement falls back to the max spec.
+    small = specs[0]
+    assert select_spec(specs, small.n_pad - 1,
+                       [e - 1 for e in small.e_pads], 1) == small
+    assert select_spec(specs, specs[-1].n_pad,
+                       list(specs[-1].e_pads), 1) == specs[-1]
+    # A dense small pack (few nodes, too many edges for its node level)
+    # falls through past that level (to a covering level or, when nothing
+    # covers, the packing spec — real packs always fit it by construction).
+    dense = select_spec(specs, small.n_pad - 1,
+                        [small.e_pads[0] + 1] + [1, 1], 1)
+    assert dense.e_pads[0] > small.e_pads[0] or dense == specs[-1]
+
+
+def test_ppi_fold_uses_multiple_specs_and_reduces_padding(ppi_task):
+    """With batch_spec_buckets > 1 the PPI fold mixes batch shapes and
+    the total padded-edge overhead drops vs the single-shape spec."""
+    data = ppi_task._loaded_data[DataFold.TRAIN]
+    budget = 700
+
+    def fold_stats(buckets):
+        ppi_task.params["batch_spec_buckets"] = buckets
+        ppi_task._spec_cache.clear()
+        try:
+            batches = list(ppi_task.make_minibatch_iterator(
+                data, DataFold.VALIDATION, budget
+            ))
+        finally:
+            del ppi_task.params["batch_spec_buckets"]
+            ppi_task._spec_cache.clear()
+        pad_e = sum(b.graph.flat.src_flat.shape[0] for b in batches)
+        real_e = sum(b.num_edges for b in batches)
+        shapes = {
+            (b.graph.n_pad, tuple(e.senders.shape[0] for e in b.graph.edges))
+            for b in batches
+        }
+        return batches, pad_e, real_e, shapes
+
+    b1, pad1, real1, shapes1 = fold_stats(1)
+    b3, pad3, real3, shapes3 = fold_stats(3)
+    assert real1 == real3
+    assert len(shapes1) == 1
+    assert pad3 <= pad1
+    # Same graphs end up in the same packs either way (packing uses the
+    # maximal spec in both cases).
+    assert [b.num_nodes for b in b1] == [b.num_nodes for b in b3]
+
+
+def test_scanned_epoch_with_multi_spec_fold(tmp_path):
+    """scan_epochs groups a multi-shape cached fold by shape and still
+    trains: loss decreases and all batches are visited each epoch."""
+    from tf_gnn_samples_tpu.tasks.ppi import PPI_Task
+    from tf_gnn_samples_tpu.utils.registry import name_to_model_class
+
+    root = make_ppi_dir(str(tmp_path / "ppi"))
+    task = PPI_Task(PPI_Task.default_params())
+    task.load_data(root)
+    model_cls, extra = name_to_model_class("RGCN")
+    params = model_cls.default_params()
+    params.update(extra)
+    params.update({
+        "hidden_size": 32, "graph_num_layers": 2, "random_seed": 0,
+        "max_nodes_in_batch": 700,
+        "cache_batches_on_device": True,
+        "scan_epochs": True,
+    })
+    model = model_cls(params, task, "scan_ms", str(tmp_path / "run"))
+    data = task._loaded_data[DataFold.TRAIN]
+    losses = []
+    n_batches = None
+    for _ in range(4):
+        loss, metrics, n, *_ = model._run_epoch(
+            "e", data, DataFold.TRAIN, quiet=True
+        )
+        losses.append(loss)
+        if n_batches is None:
+            n_batches = len(metrics)
+        assert len(metrics) == n_batches
+    groups = model._stacked_cache[DataFold.TRAIN]
+    assert sum(len(idxs) for _, idxs in groups) == n_batches
+    assert losses[-1] < losses[0]

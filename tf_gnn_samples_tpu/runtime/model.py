@@ -52,6 +52,18 @@ def unify_win_tokens(batches: List[TaskBatch]) -> List[TaskBatch]:
     return unify_batch_windows(batches)
 
 
+def batch_shape_key(batch: TaskBatch):
+    """Hashable pytree-shape signature of a batch: leaf array shapes and
+    dtypes (host ints hash by position only — they stack regardless of
+    value). Batches share a key iff they can be jnp.stack'ed / scanned
+    together; multi-bucket folds (tasks/base.py compute_batch_specs) carry
+    a handful of distinct keys."""
+    return tuple(
+        (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape") else type(x)
+        for x in jax.tree_util.tree_leaves(batch)
+    )
+
+
 def flatten_params(params, prefix="") -> Dict[str, np.ndarray]:
     """Pytree -> {path: ndarray}, the checkpoint weight format (analogous to
     the reference's variable-name keyed dict, sparse_graph_model.py:91-107)."""
@@ -428,12 +440,15 @@ class SparseGraphModel(ABC):
         small integers (exact), and the MXU matmul consumes bf16 inputs
         anyway. All-or-nothing per fold, gated by a memory budget shared
         across folds."""
-        if not batches or not self._wants_dense_adj(batches[0].graph):
+        wants = [self._wants_dense_adj(b.graph) for b in batches]
+        if not batches or not any(wants):
             return batches
         budget = float(self.params.get("dense_adj_cache_budget_gb", 9.0))
-        n = batches[0].graph.n_pad
-        fold_gb = (
-            len(batches) * len(batches[0].graph.edges) * n * n * 2 / 1e9
+        # Per-batch sizes: multi-bucket folds (tasks/base.py
+        # compute_batch_specs) mix n_pad levels within one fold.
+        fold_gb = sum(
+            len(b.graph.edges) * b.graph.n_pad * b.graph.n_pad * 2 / 1e9
+            for b, w in zip(batches, wants) if w
         )
         if self._dense_adj_cached_gb + fold_gb > budget:
             return batches
@@ -449,8 +464,8 @@ class SparseGraphModel(ABC):
         return [
             b._replace(graph=b.graph._replace(
                 dense_adj=self._jitted_adj_build(b.graph)
-            ))
-            for b in batches
+            )) if w else b
+            for b, w in zip(batches, wants)
         ]
 
     def _device_batch(self, batch: TaskBatch) -> TaskBatch:
@@ -729,17 +744,23 @@ class SparseGraphModel(ABC):
                     built.append((stacked, counts))
                 run_group_stacked(stacked, counts)
 
-            group: List[TaskBatch] = []
+            # Same-shape replica groups: multi-bucket folds (tasks/base.py
+            # compute_batch_specs) interleave spec shapes, and a stacked
+            # group must share one pytree shape.
+            pending: Dict[Any, List[TaskBatch]] = {}
             for batch in batch_iterator:
                 processed_graphs += int(batch.num_graphs)
                 processed_nodes += int(batch.num_nodes)
                 processed_edges += int(batch.num_edges)
+                key = batch_shape_key(batch)
+                group = pending.setdefault(key, [])
                 group.append(self._device_batch(batch))
                 if len(group) == replicas:
                     run_group(group)
-                    group = []
-            if group:
-                run_group(group)
+                    pending[key] = []
+            for group in pending.values():
+                if group:
+                    run_group(group)
             if cache_on:
                 self._dp_group_cache[data_fold] = (
                     built,
@@ -852,16 +873,18 @@ class SparseGraphModel(ABC):
     def _run_epoch_scanned(
         self, cached: List[TaskBatch], data_fold: DataFold
     ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
-        """Epoch over device-resident batches in ONE device dispatch via
-        lax.scan (see _make_epoch_fns). TRAIN reshuffles batch order per
+        """Epoch over device-resident batches in ONE device dispatch per
+        shape group via lax.scan (see _make_epoch_fns). Multi-bucket folds
+        (tasks/base.py compute_batch_specs) scan each spec shape as its
+        own group — group order and within-group order reshuffle per TRAIN
         epoch (graph-to-batch packing is frozen once cached)."""
         start_time = time.time()
         if self._jitted_epoch_fns is None:
             self._jitted_epoch_fns = self._make_epoch_fns()
         train_epoch_fn, eval_epoch_fn = self._jitted_epoch_fns
 
-        stacked = self._stacked_cache.get(data_fold)
-        if stacked is None:
+        groups = self._stacked_cache.get(data_fold)
+        if groups is None:
             # Cached dense adjacencies are NOT stacked: a [B, L, N, N]
             # stack (plus the per-epoch shuffled copy below) would blow
             # the dense_adj_cache_budget several times over; the scan body
@@ -870,13 +893,19 @@ class SparseGraphModel(ABC):
                 b._replace(graph=b.graph._replace(dense_adj=None))
                 for b in cached
             ]
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(
-                    [jnp.asarray(x) for x in xs], axis=0
-                ),
-                *cached_nodense,
-            )
-            self._stacked_cache[data_fold] = stacked
+            by_key: Dict[Any, List[int]] = {}
+            for i, b in enumerate(cached_nodense):
+                by_key.setdefault(batch_shape_key(b), []).append(i)
+            groups = []
+            for idxs in by_key.values():
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(
+                        [jnp.asarray(x) for x in xs], axis=0
+                    ),
+                    *[cached_nodense[i] for i in idxs],
+                )
+                groups.append((stacked, idxs))
+            self._stacked_cache[data_fold] = groups
             # Keep only host-side stats; drop the per-batch device arrays
             # (otherwise two full device-resident copies of the fold stay
             # alive for the rest of training).
@@ -887,29 +916,40 @@ class SparseGraphModel(ABC):
             ]
             self._batch_cache[data_fold] = cached
 
+        group_metrics = []  # per group: (device metrics dict, fold idxs)
         if data_fold == DataFold.TRAIN:
-            order = np.arange(len(cached))
-            np.random.shuffle(order)
-            perm = jnp.asarray(order)
-            xs = jax.tree_util.tree_map(
-                lambda x: jnp.take(x, perm, axis=0), stacked
-            )
-            rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
-            self.model_params_tree, self.opt_state, metrics = train_epoch_fn(
-                self.model_params_tree, self.opt_state, rng, xs
-            )
-            counts_order = order
+            group_order = np.random.permutation(len(groups))
+            for gi in group_order:
+                stacked, idxs = groups[gi]
+                within = np.random.permutation(len(idxs))
+                perm = jnp.asarray(within)
+                xs = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, perm, axis=0), stacked
+                )
+                rng = jax.random.PRNGKey(
+                    self._step_rng.randint(0, 2**31 - 1)
+                )
+                (self.model_params_tree, self.opt_state,
+                 metrics) = train_epoch_fn(
+                    self.model_params_tree, self.opt_state, rng, xs
+                )
+                group_metrics.append(
+                    (metrics, [idxs[i] for i in within])
+                )
         else:
-            metrics = eval_epoch_fn(self.model_params_tree, stacked)
-            counts_order = np.arange(len(cached))
+            for stacked, idxs in groups:
+                metrics = eval_epoch_fn(self.model_params_tree, stacked)
+                group_metrics.append((metrics, idxs))
 
-        host_metrics = jax.device_get(metrics)  # dict of [B] arrays
-        n_batches = len(cached)
-        task_metric_results = [
-            {k: np.asarray(v[i]) for k, v in host_metrics.items()}
-            for i in range(n_batches)
-        ]
-        batch_graph_counts = [int(cached[i].num_graphs) for i in counts_order]
+        host_groups = jax.device_get([m for m, _ in group_metrics])
+        task_metric_results = []
+        batch_graph_counts = []
+        for (_, idxs), host_m in zip(group_metrics, host_groups):
+            for i, fold_i in enumerate(idxs):
+                task_metric_results.append(
+                    {k: np.asarray(v[i]) for k, v in host_m.items()}
+                )
+                batch_graph_counts.append(int(cached[fold_i].num_graphs))
         processed_graphs = sum(int(b.num_graphs) for b in cached)
         processed_nodes = sum(int(b.num_nodes) for b in cached)
         processed_edges = sum(int(b.num_edges) for b in cached)

@@ -4,5 +4,7 @@ from .base import (  # noqa: F401
     SparseGraphTask,
     TaskBatch,
     compute_batch_spec,
+    compute_batch_specs,
+    select_spec,
     pack_greedy,
 )

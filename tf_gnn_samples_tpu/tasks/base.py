@@ -66,12 +66,30 @@ def compute_batch_spec(
     num_edge_types: int,
     min_bucket: int = 64,
 ) -> BatchSpec:
+    """Single-shape variant of compute_batch_specs: the maximal spec that
+    every greedy pack fits (one compiled shape per fold)."""
+    return compute_batch_specs(
+        graph_sizes, max_nodes, num_edge_types, min_bucket, num_buckets=1
+    )[-1]
+
+
+def compute_batch_specs(
+    graph_sizes: Sequence[Tuple[int, Sequence[int]]],
+    max_nodes: int,
+    num_edge_types: int,
+    min_bucket: int = 64,
+    num_buckets: int = 3,
+) -> List[BatchSpec]:
     """Derive hard budgets so that greedy packing under them always fits.
 
     Args:
         graph_sizes: per graph (num_nodes, per-type edge counts).
         max_nodes: the reference's `max_nodes_in_batch` packing budget
             (models/sparse_graph_model.py:25).
+        num_buckets: number of batch-shape levels (compiled shapes) per
+            fold. The LAST returned spec is the packing spec (maximal);
+            smaller levels trade extra XLA compilations for less padding
+            on below-average packs.
 
     The per-type edge budget is the max per-type edge count over packs of
     SIMULATED greedy packing runs (the identity order plus seeded
@@ -80,8 +98,7 @@ def compute_batch_spec(
     so a future shuffle that packs denser than every simulation stays
     correct (it just splits that pack) — this keeps padding tied to
     ACHIEVABLE packs instead of the worst per-graph density times the
-    full node budget, which overpadded dense folds by ~15-30%. The graph
-    budget uses the smallest graph. One compiled shape per fold.
+    full node budget, which overpadded dense folds by ~15-30%.
     """
     # Edge pads are multiples of the Pallas streaming kernels' grid block
     # (ops/ranked_segment.py STEP) so the whole flat stream is chunkable
@@ -110,7 +127,8 @@ def compute_batch_spec(
     edges_arr = np.array(
         [np.asarray(e, dtype=np.int64) for _, e in graph_sizes]
     ).reshape(len(graph_sizes), num_edge_types)
-    sim_max = max_graph_edges.copy()
+    sim_nodes: List[int] = []  # per simulated pack: node sum
+    sim_edges: List[np.ndarray] = []  # per simulated pack: per-type edges
     rng = np.random.RandomState(0)  # deterministic spec across processes
     num_sims = 16
     for sim in range(num_sims + 1):
@@ -124,12 +142,18 @@ def compute_batch_spec(
             n = nodes_arr[i]
             if cur_nodes and cur_nodes + n >= max_nodes:  # strict <, as
                 # in pack_greedy (reference ppi_task.py:220)
-                sim_max = np.maximum(sim_max, cur_edges)
+                sim_nodes.append(cur_nodes)
+                sim_edges.append(cur_edges)
                 cur_nodes, cur_edges = 0, np.zeros_like(cur_edges)
             cur_nodes += n
             cur_edges = cur_edges + edges_arr[i]
-        sim_max = np.maximum(sim_max, cur_edges)
+        if cur_nodes:
+            sim_nodes.append(cur_nodes)
+            sim_edges.append(cur_edges)
 
+    sim_max = max_graph_edges.copy()
+    if sim_edges:
+        sim_max = np.maximum(sim_max, np.max(np.stack(sim_edges), axis=0))
     e_pads = tuple(
         bucket_size(max(int(sim_max[l]), 1), min_size=edge_min_bucket,
                     buckets_per_octave=16)
@@ -138,7 +162,64 @@ def compute_batch_spec(
     g_pad = bucket_size(
         max(int(np.ceil(n_pad / min_nodes)), 1), min_size=16
     )
-    return BatchSpec(n_pad=n_pad, e_pads=e_pads, g_pad=g_pad)
+    spec_max = BatchSpec(n_pad=n_pad, e_pads=e_pads, g_pad=g_pad)
+    if num_buckets <= 1 or not sim_nodes:
+        return [spec_max]
+
+    # Sub-specs at node-count quantiles of the simulated packs: batch
+    # packing quantizes at whole-graph granularity (a 2.4k-node graph that
+    # does not fit leaves the pack ~2.4k nodes short), so real packs land
+    # well below max_nodes and a single max-shape spec overpads the
+    # average batch by 25-30% in BOTH nodes and edges (measured on the
+    # PPI bench fold). Each level's edge budgets cover every simulated
+    # pack at or below its node level; assignment (select_spec) falls
+    # through to the next level when a dense small pack exceeds them.
+    nodes_np = np.asarray(sim_nodes, dtype=np.int64)
+    edges_np = np.stack(sim_edges)  # [num_packs, L]
+    specs: List[BatchSpec] = []
+    seen = set()
+    for k in range(1, num_buckets):
+        q = k / num_buckets
+        n_level = int(np.quantile(nodes_np, q))
+        np_k = bucket_size(max(n_level, 1), min_size=min_bucket,
+                           buckets_per_octave=16)
+        if np_k >= spec_max.n_pad:
+            continue
+        covered = nodes_np <= np_k
+        if not covered.any():
+            continue
+        req = np.max(edges_np[covered], axis=0)
+        ep_k = tuple(
+            bucket_size(max(int(np.maximum(req[l], max_graph_edges[l])), 1),
+                        min_size=edge_min_bucket, buckets_per_octave=16)
+            for l in range(num_edge_types)
+        )
+        gp_k = bucket_size(max(int(np.ceil(np_k / min_nodes)), 1),
+                           min_size=16)
+        key = (np_k, ep_k, gp_k)
+        if key in seen:
+            continue
+        seen.add(key)
+        specs.append(BatchSpec(n_pad=np_k, e_pads=ep_k, g_pad=gp_k))
+    specs.sort(key=lambda s: (s.n_pad, sum(s.e_pads)))
+    specs.append(spec_max)
+    return specs
+
+
+def select_spec(
+    specs: Sequence[BatchSpec],
+    num_nodes: int,
+    e_counts: Sequence[int],
+    num_graphs: int,
+) -> BatchSpec:
+    """Smallest spec (specs sorted ascending; last must be the packing
+    spec, which always fits by construction) that fits a packed batch."""
+    e_counts = np.asarray(e_counts, dtype=np.int64)
+    for spec in specs[:-1]:
+        if (num_nodes <= spec.n_pad and num_graphs <= spec.g_pad
+                and bool(np.all(e_counts <= np.asarray(spec.e_pads)))):
+            return spec
+    return specs[-1]
 
 
 def pack_greedy(

@@ -26,9 +26,10 @@ from .base import (
     DataFold,
     SparseGraphTask,
     TaskBatch,
-    compute_batch_spec,
+    compute_batch_specs,
     graph_sample_to_padded,
     pack_greedy,
+    select_spec,
 )
 
 
@@ -219,13 +220,16 @@ class PPI_Task(SparseGraphTask):
                 (len(s.node_features), [a.shape[0] for a in s.adjacency_lists])
                 for s in data
             ]
-            return sz, compute_batch_spec(sz, max_nodes_per_batch, self.num_edge_types)
+            return sz, compute_batch_specs(
+                sz, max_nodes_per_batch, self.num_edge_types,
+                num_buckets=int(self.params.get("batch_spec_buckets", 3)),
+            )
 
-        sizes, spec = self.cached_spec(data, max_nodes_per_batch, _compute)
+        sizes, specs = self.cached_spec(data, max_nodes_per_batch, _compute)
         order = np.arange(len(data))
         if data_fold == DataFold.TRAIN:
             np.random.shuffle(order)
-        for pack in pack_greedy(sizes, order, spec, max_nodes_per_batch):
+        for pack in pack_greedy(sizes, order, specs[-1], max_nodes_per_batch):
             feats, gids, labels = [], [], []
             adj = [[] for _ in range(self.num_edge_types)]
             counts = []
@@ -242,9 +246,13 @@ class PPI_Task(SparseGraphTask):
                     num_edges += s.adjacency_lists[l].shape[0]
                 counts.append(s.type_to_node_to_num_incoming_edges)
                 node_offset += n
+            adj_cat = [np.concatenate(a) for a in adj]
+            spec = select_spec(
+                specs, node_offset, [a.shape[0] for a in adj_cat], len(pack)
+            )
             graph = graph_sample_to_padded(
                 np.concatenate(feats, axis=0),
-                [np.concatenate(a) for a in adj],
+                adj_cat,
                 np.concatenate(gids),
                 len(pack),
                 spec,

@@ -26,7 +26,8 @@ from .base import (
     DataFold,
     SparseGraphTask,
     TaskBatch,
-    compute_batch_spec,
+    compute_batch_specs,
+    select_spec,
     graph_sample_to_padded,
     pack_greedy,
     read_jsonl_gz,
@@ -244,18 +245,19 @@ class QM9_Task(SparseGraphTask):
     def make_minibatch_iterator(
         self, data, data_fold: DataFold, max_nodes_per_batch: int
     ) -> Iterator[TaskBatch]:
-        sizes, spec = self.cached_spec(
+        sizes, specs = self.cached_spec(
             data, max_nodes_per_batch,
-            lambda: (lambda sz: (sz, compute_batch_spec(
-                sz, max_nodes_per_batch, self.num_edge_types
+            lambda: (lambda sz: (sz, compute_batch_specs(
+                sz, max_nodes_per_batch, self.num_edge_types,
+                num_buckets=int(self.params.get("batch_spec_buckets", 3)),
             )))(self._graph_sizes(data)),
         )
         order = np.arange(len(data))
         if data_fold == DataFold.TRAIN:
             np.random.shuffle(order)
         T = len(self.params["task_ids"])
-        for pack in pack_greedy(sizes, order, spec, max_nodes_per_batch):
-            feats, gids, targets = [], [], np.zeros((T, spec.g_pad), np.float32)
+        for pack in pack_greedy(sizes, order, specs[-1], max_nodes_per_batch):
+            feats, gids, target_cols = [], [], []
             adj = [[] for _ in range(self.num_edge_types)]
             counts = []
             node_offset = 0
@@ -269,11 +271,17 @@ class QM9_Task(SparseGraphTask):
                     adj[l].append(s.adjacency_lists[l] + node_offset)
                     num_edges += s.adjacency_lists[l].shape[0]
                 counts.append(s.type_to_node_to_num_incoming_edges)
-                targets[:, gi] = s.target_values
+                target_cols.append(s.target_values)
                 node_offset += n
             merged_adj = [
                 np.concatenate(a) if a else np.zeros((0, 2), np.int32) for a in adj
             ]
+            spec = select_spec(
+                specs, node_offset, [a.shape[0] for a in merged_adj],
+                len(pack),
+            )
+            targets = np.zeros((T, spec.g_pad), np.float32)
+            targets[:, :len(pack)] = np.stack(target_cols, axis=1)
             graph = graph_sample_to_padded(
                 np.concatenate(feats, axis=0),
                 merged_adj,
