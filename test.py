@@ -37,7 +37,12 @@ def test(model_path: str, test_data_path: Optional[str], result_dir: str,
 
 
 def run(args):
-    test(args.STORED_MODEL_PATH, args.DATA_PATH, args.result_dir, quiet=args.quiet)
+    from tf_gnn_samples_tpu.utils.paths import localize_path
+
+    data_path = args.DATA_PATH
+    if data_path is not None:
+        data_path = localize_path(data_path, args.azure_info)
+    test(args.STORED_MODEL_PATH, data_path, args.result_dir, quiet=args.quiet)
 
 
 if __name__ == "__main__":
@@ -46,7 +51,9 @@ if __name__ == "__main__":
     parser.add_argument("DATA_PATH", nargs="?", default=None)
     parser.add_argument("--result-dir", default="trained_models")
     parser.add_argument("--azure-info", default="azure_auth.json",
-                        help="Accepted for CLI parity; Azure paths are not supported.")
+                        help="dpu_utils-style auth JSON for azure:// data "
+                             "paths (downloaded to a local cache up front; "
+                             "needs the azure-storage-blob package).")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--debug", action="store_true")
     cli_args = parser.parse_args()

@@ -53,7 +53,9 @@ def get_train_args(argv=None):
                         help="Resume from a full training-state checkpoint "
                              "(written when checkpoint_every_n_epochs is set).")
     parser.add_argument("--azure-info", default="azure_auth.json",
-                        help="Accepted for CLI parity; Azure paths are not supported.")
+                        help="dpu_utils-style auth JSON for azure:// data "
+                             "paths (downloaded to a local cache up front; "
+                             "needs the azure-storage-blob package).")
     parser.add_argument("--debug", action="store_true")
     return parser.parse_args(argv)
 
@@ -85,6 +87,11 @@ def run(args):
     os.makedirs(result_dir, exist_ok=True)
     task = task_cls(task_params)
     data_path = args.data_path or task.default_data_path()
+    # azure:// paths localize to a cache dir up front (reference
+    # train.py:61-72 upgrades paths through RichPath.create instead).
+    from tf_gnn_samples_tpu.utils.paths import localize_path
+
+    data_path = localize_path(data_path, args.azure_info)
     task.load_data(data_path)
 
     random_seeds = model_params["random_seed"]
