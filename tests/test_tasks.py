@@ -354,15 +354,22 @@ def test_varmisuse_streaming_epoch_memory_bounded(tmp_path):
         vm._scan_shard = orig_scan
     assert len(stream2) == 40
 
-    # Same spec as the in-memory loader (stats parity):
+    # Same MAXIMAL spec level as the in-memory loader (stats parity;
+    # per-batch levels may differ because pack composition differs):
     params_mem = vm.VarMisuse_Task.default_params()
     task_mem = vm.VarMisuse_Task(params_mem)
     task_mem.load_data(root)
-    mem_b = next(iter(task_mem.make_minibatch_iterator(
-        task_mem._loaded_data[DataFold.TRAIN], DataFold.TRAIN, 400)))
-    assert batches1[0].graph.n_pad == mem_b.graph.n_pad
-    assert batches1[0].graph.edges[0].senders.shape == \
-        mem_b.graph.edges[0].senders.shape
+    mem_batches = list(task_mem.make_minibatch_iterator(
+        task_mem._loaded_data[DataFold.TRAIN], DataFold.TRAIN, 400))
+    specs_stream, _ = task.cached_spec(stream, 400, lambda: (_ for _ in ()).throw(
+        AssertionError("stream spec should be memoized")))
+    specs_mem, _ = task_mem.cached_spec(
+        task_mem._loaded_data[DataFold.TRAIN], 400,
+        lambda: (_ for _ in ()).throw(
+            AssertionError("mem spec should be memoized")))
+    assert specs_stream[-1] == specs_mem[-1]
+    assert max(b.graph.n_pad for b in batches1) <= specs_stream[-1].n_pad
+    assert max(b.graph.n_pad for b in mem_batches) <= specs_mem[-1].n_pad
 
 
 def test_varmisuse_streaming_trains_end_to_end(tmp_path):

@@ -631,22 +631,31 @@ class VarMisuse_Task(SparseGraphTask):
         n_cands = self.params["max_variable_candidates"]
         C = self.params["graph_node_label_max_num_chars"]
         shuffle = data_fold == DataFold.TRAIN
-        from .base import compute_batch_spec
+        from .base import compute_batch_specs
+
+        num_buckets = int(self.params.get("batch_spec_buckets", 3))
+
+        def _levels(sizes, uniq_density, max_uniq):
+            """Spec levels plus a matching unique-label pad per level
+            (the char-CNN input [u_pad, C] scales with the level)."""
+            specs = compute_batch_specs(
+                sizes, max_nodes_per_batch, L, num_buckets=num_buckets
+            )
+            u_pads = [
+                bucket_size(
+                    max(int(np.ceil(uniq_density * s.n_pad)), max_uniq)
+                )
+                for s in specs
+            ]
+            return specs, u_pads
 
         streaming = getattr(data, "is_streaming", False)
         if streaming:
             # Spec statistics come from the stream's one-time stats pass
             # (disk-cached); samples arrive through the windowed shuffle.
-            def _compute():
-                sizes, uniq_density, max_uniq = data.spec_stats()
-                spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
-                u_pad = bucket_size(
-                    max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq)
-                )
-                return spec, u_pad
-
-            spec, u_pad = self.cached_spec(
-                data, max_nodes_per_batch, _compute
+            specs, u_pads = self.cached_spec(
+                data, max_nodes_per_batch,
+                lambda: _levels(*data.spec_stats()),
             )
             sample_iter = data.iter_samples(shuffle=shuffle)
         else:
@@ -667,19 +676,16 @@ class VarMisuse_Task(SparseGraphTask):
                     u = s.unique_labels_as_characters.shape[0]
                     uniq_density = max(uniq_density, u / n)
                     max_uniq = max(max_uniq, u)
-                spec = compute_batch_spec(sizes, max_nodes_per_batch, L)
-                u_pad = bucket_size(
-                    max(int(np.ceil(uniq_density * spec.n_pad)), max_uniq)
-                )
-                return spec, u_pad
+                return _levels(sizes, uniq_density, max_uniq)
 
-            spec, u_pad = self.cached_spec(
+            specs, u_pads = self.cached_spec(
                 data, max_nodes_per_batch, _compute
             )
             order = np.arange(len(data))
             if shuffle:
                 np.random.shuffle(order)
             sample_iter = (data[i] for i in order)
+        spec, u_pad = specs[-1], u_pads[-1]  # packing budgets (maximal)
 
         # Pack under node + unique-label + edge + graph-count budgets,
         # consuming samples one at a time (works for both the in-memory
@@ -713,11 +719,32 @@ class VarMisuse_Task(SparseGraphTask):
                 yield cur
 
         for pack in batches():
+            # Per-pack level selection (smallest spec whose node / unique /
+            # edge / graph budgets all cover the pack; the packing spec
+            # always does by construction):
+            req_n = sum(len(s.node_labels_to_unique_labels) for s in pack)
+            req_u = sum(
+                s.unique_labels_as_characters.shape[0] for s in pack
+            )
+            req_e = np.sum(
+                [[a.shape[0] for a in s.adjacency_lists] for s in pack],
+                axis=0,
+            )
+            # NB: `spec`/`u_pad` are the PACKING budgets read lazily by the
+            # batches() generator above — never rebind them here.
+            sel_spec, sel_u_pad = specs[-1], u_pads[-1]
+            for k in range(len(specs) - 1):
+                if (req_n <= specs[k].n_pad and req_u <= u_pads[k]
+                        and len(pack) <= specs[k].g_pad
+                        and bool(np.all(req_e <= np.asarray(
+                            specs[k].e_pads)))):
+                    sel_spec, sel_u_pad = specs[k], u_pads[k]
+                    break
             adj = [[] for _ in range(L)]
             counts, uniq_chars, node_to_uniq, gids = [], [], [], []
-            slot_ids = np.zeros(spec.g_pad, np.int32)
-            cand_ids = np.zeros((spec.g_pad, n_cands), np.int32)
-            cand_mask = np.zeros((spec.g_pad, n_cands), np.float32)
+            slot_ids = np.zeros(sel_spec.g_pad, np.int32)
+            cand_ids = np.zeros((sel_spec.g_pad, n_cands), np.int32)
+            cand_mask = np.zeros((sel_spec.g_pad, n_cands), np.float32)
             node_offset = uniq_offset = 0
             num_edges = 0
             for gi, s in enumerate(pack):
@@ -749,13 +776,13 @@ class VarMisuse_Task(SparseGraphTask):
                 [np.concatenate(a) if a else np.zeros((0, 2), np.int32) for a in adj],
                 np.concatenate(gids),
                 len(pack),
-                spec,
+                sel_spec,
                 typed_incoming_counts=np.concatenate(counts, axis=1),
             )
-            uc = np.zeros((u_pad, C), np.int32)
+            uc = np.zeros((sel_u_pad, C), np.int32)
             cat_uc = np.concatenate(uniq_chars, axis=0)
             uc[: cat_uc.shape[0]] = cat_uc
-            ntu = np.zeros(spec.n_pad, np.int32)
+            ntu = np.zeros(sel_spec.n_pad, np.int32)
             ntu[:node_offset] = np.concatenate(node_to_uniq)
             yield TaskBatch(
                 graph=graph,
