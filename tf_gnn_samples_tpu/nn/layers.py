@@ -773,7 +773,12 @@ def gnn_edge_mlp_apply(
     # One hidden layer + target state (the tuned GNN-Edge-MLP1): the
     # pre-dense hidden x = elu(ts[src] + tt[tgt]) assembles from node
     # tables + a rank expand; the type-dependent output dense + act +
-    # aggregation run fused (ranked_segment.typed_dense_aggregate).
+    # aggregation run fused (ranked_segment.typed_dense_aggregate). Two
+    # XLA-shaped alternatives measured SLOWER than the blocked kernel on
+    # PPI (L=3, v5e): L full-stream matmuls + per-edge type select (1.3x
+    # vs 1.7x epoch rate — L-fold FLOPs plus three [E, D] select passes),
+    # and static per-type slices (invalid: the stream is receiver-major
+    # with types interleaved, ops/graph.py).
     fused1 = (
         use_target_state_as_input
         and num_edge_hidden_layers == 1
