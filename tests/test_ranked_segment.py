@@ -668,3 +668,50 @@ def test_typed_dense_aggregate_matches_oracle():
         np.testing.assert_allclose(
             np.asarray(a, dtype=np.float32), np.asarray(b, np.float32),
             rtol=8e-2, atol=8e-1)
+
+
+@pytest.mark.parametrize("aggregation", ["sum", "mean"])
+def test_gather_aggregate_src_matches_unfused(aggregation):
+    """Fused gather+segment-sum (src-order backward, edge_ops
+    _gather_segsum): outputs AND gradients must match the unfused
+    gather_flat_src -> aggregate_flat_ranked pair."""
+    from tf_gnn_samples_tpu.ops.edge_ops import (
+        aggregate_flat_ranked,
+        gather_aggregate_src,
+        gather_aggregate_src_ok,
+        gather_flat_src,
+    )
+
+    rng = np.random.RandomState(11)
+    graph = _random_graph_batch(rng)
+    L, n_pad, d = 2, graph.n_pad, 64
+    assert gather_aggregate_src_ok(graph, aggregation, d)
+    table = jnp.asarray(
+        rng.randn(L * n_pad + 1, d).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def unfused(tbl):
+        m = gather_flat_src(tbl, graph.flat)
+        return aggregate_flat_ranked(m, graph, aggregation)
+
+    def fused(tbl):
+        return gather_aggregate_src(tbl, graph, aggregation)
+
+    out_u = unfused(table)
+    out_f = fused(table)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-2, atol=2e-2)
+
+    cot = jnp.asarray(rng.randn(n_pad, d).astype(np.float32))
+
+    def loss(fn, tbl):
+        return jnp.sum(fn(tbl).astype(jnp.float32) * cot)
+
+    g_u = jax.grad(lambda tbl: loss(unfused, tbl))(table)
+    g_f = jax.grad(lambda tbl: loss(fused, tbl))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_f, dtype=np.float32),
+        np.asarray(g_u, dtype=np.float32), rtol=5e-2, atol=5e-2,
+    )
+    # The padded dump row must receive no gradient.
+    assert float(jnp.abs(g_f[-1]).max()) == 0.0

@@ -40,6 +40,8 @@ from ..ops.edge_ops import (
     aggregate_flat_ranked,
     aggregate_flat_sum,
     dense_aggregate_linear,
+    gather_aggregate_src,
+    gather_aggregate_src_ok,
     gather_flat_src,
     gather_flat_tgt,
     fine_rank_to_flat,
@@ -674,10 +676,21 @@ def rgin_apply(
     for _step in range(num_timesteps):
         if ranked:
             t = act(_node_table_mlp(h, params["edge_mlp"], act))
-            m = gather_flat_src(_flat(t).astype(jnp.bfloat16), graph.flat)
-            agg = aggregate_flat_ranked(
-                m, graph, message_aggregation_function
-            )
+            t16 = _flat(t).astype(jnp.bfloat16)
+            if gather_aggregate_src_ok(
+                    graph, message_aggregation_function, t16.shape[-1]):
+                # Fused gather+segment-sum: backward re-gathers the SMALL
+                # table cotangent in src order instead of permuting the
+                # [E, D] per-edge cotangent (ops/edge_ops.py
+                # _gather_segsum).
+                agg = gather_aggregate_src(
+                    t16, graph, message_aggregation_function
+                )
+            else:
+                m = gather_flat_src(t16, graph.flat)
+                agg = aggregate_flat_ranked(
+                    m, graph, message_aggregation_function
+                )
         elif scanned:
             agg = _scanned_mlp_aggregate(
                 h, params["edge_mlp"], graph, use_target_state_as_input,
@@ -853,13 +866,22 @@ def gnn_edge_mlp_apply(
                     m.astype(jnp.float32)
                     * graph.flat.norm_scale[:, None]
                 )
-            else:
-                m = gather_flat_src(
-                    _flat(act(t)).astype(jnp.bfloat16), graph.flat
+                agg = aggregate_flat_ranked(
+                    m, graph, message_aggregation_function
                 )
-            agg = aggregate_flat_ranked(
-                m, graph, message_aggregation_function
-            )
+            else:
+                t16 = _flat(act(t)).astype(jnp.bfloat16)
+                if gather_aggregate_src_ok(
+                        graph, message_aggregation_function,
+                        t16.shape[-1]):
+                    agg = gather_aggregate_src(
+                        t16, graph, message_aggregation_function
+                    )
+                else:
+                    m = gather_flat_src(t16, graph.flat)
+                    agg = aggregate_flat_ranked(
+                        m, graph, message_aggregation_function
+                    )
         elif scan_types_wanted(graph, typed_edge_scan):
             agg = _scanned_mlp_aggregate(
                 h, params["edge_mlp"], graph, use_target_state_as_input,

@@ -410,6 +410,118 @@ def aggregate_flat_ranked(messages, graph, aggregation: str,
     return out / count.reshape((n_pad,) + (1,) * (messages.ndim - 1))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _gather_segsum(table_flat, src_flat, rcv_rank, perm_by_src,
+                   src_sorted_rank, src_to_rank, win_fine_tok, win_src_tok,
+                   rows, src_rows, block_edges):
+    """take(table_flat)[src] -> streaming coarse-rank segment-sum, with a
+    SOURCE-ORDER backward: because the forward aggregation is a plain
+    segment-sum by receiver, the per-edge cotangent is exactly the
+    receiver's table-cotangent row — so instead of permuting the [E, D]
+    upstream cotangent into source order (the measured per-edge reorder
+    wall: ~80-100M rows/s from a large [E, D] source), the backward
+    re-gathers it per edge from the SMALL [rows, D] table cotangent
+    (~325M rows/s) and runs the windowed src-rank segment-sum directly.
+    Dump-rank rows of the table cotangent are zero (ranked_table_to_nodes
+    only takes real ranks), so padded edges contribute nothing."""
+    from .graph import token_window
+    from .ranked_segment import ranked_segment_sum_table
+
+    m = jnp.take(table_flat, src_flat, axis=0, mode="clip")
+    return ranked_segment_sum_table(
+        m, rcv_rank, rows, block_edges, token_window(win_fine_tok)
+    )
+
+
+def _gather_segsum_fwd(table_flat, src_flat, rcv_rank, perm_by_src,
+                       src_sorted_rank, src_to_rank, win_fine_tok,
+                       win_src_tok, rows, src_rows, block_edges):
+    out = _gather_segsum(
+        table_flat, src_flat, rcv_rank, perm_by_src, src_sorted_rank,
+        src_to_rank, win_fine_tok, win_src_tok, rows, src_rows, block_edges
+    )
+    res = (rcv_rank, perm_by_src, src_sorted_rank, src_to_rank,
+           win_src_tok, jnp.zeros((0,), table_flat.dtype))
+    return out, res
+
+
+def _gather_segsum_bwd(rows, src_rows, block_edges, res, g):
+    from .graph import token_window
+    from .ranked_segment import ranked_segment_sum_table
+
+    (rcv_rank, perm_by_src, src_sorted_rank, src_to_rank, win_src_tok,
+     proto) = res
+    rcv_by_src = jnp.take(rcv_rank, perm_by_src)
+    g_edge = jnp.take(
+        g.astype(jnp.bfloat16), jnp.minimum(rcv_by_src, rows - 1),
+        axis=0, mode="clip",
+    )
+    dt_table = ranked_segment_sum_table(
+        g_edge, src_sorted_rank, src_rows, block_edges,
+        token_window(win_src_tok),
+    )
+    valid = src_to_rank >= 0
+    d_flat = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
+    d_flat = jnp.where(valid[:, None], d_flat, 0.0).astype(proto.dtype)
+    return (d_flat, None, None, None, None, None, None, None)
+
+
+_gather_segsum.defvjp(_gather_segsum_fwd, _gather_segsum_bwd)
+
+
+def gather_aggregate_src_ok(graph, aggregation: str, d: int) -> bool:
+    """Eligibility of the fused gather+segment-sum (src-order backward):
+    sum-family aggregation, src-sorted rank machinery present, and both
+    the coarse receiver table and the src-rank table within the streaming
+    kernel's VMEM model."""
+    from . import ranked_segment as rs
+
+    flat = graph.flat
+    if (getattr(flat, "src_sorted_rank", None) is None
+            or getattr(flat, "src_to_rank", None) is None
+            or getattr(flat, "win_src", None) is None):
+        return False
+    if not ranked_aggregation_ok(graph, aggregation, 1, d):
+        return False
+    e_tot = flat.src_flat.shape[0]
+    src_rows = _gather_src_rows(graph)
+    return rs.ranked_supported(e_tot, d, src_rows)
+
+
+def _gather_src_rows(graph) -> int:
+    from .ranked_segment import _ceil_mult
+
+    flat = graph.flat
+    e_tot = flat.src_flat.shape[0]
+    num_rows = graph.num_edge_types * graph.n_pad + 1
+    return _ceil_mult(min(num_rows + 1, e_tot), 8) + 256 + 8
+
+
+def gather_aggregate_src(table_flat, graph, aggregation: str,
+                         block_edges: int = 256):
+    """aggregate_flat_ranked(gather_flat_src(table_flat)) as ONE custom-VJP
+    op whose backward never materializes an [E, D] reorder (see
+    _gather_segsum). table_flat: type-stacked node table [L*N(+1), D];
+    caller must have checked gather_aggregate_src_ok."""
+    from .ranked_segment import rank_table_rows
+
+    flat = graph.flat
+    n_pad = graph.n_pad
+    table = _gather_segsum(
+        table_flat, flat.src_flat, flat.rcv_rank, flat.perm_by_src,
+        flat.src_sorted_rank, flat.src_to_rank, flat.win_fine,
+        flat.win_src, rank_table_rows(n_pad, block_edges),
+        _gather_src_rows(graph), block_edges,
+    )
+    out = ranked_table_to_nodes(table, graph)
+    if aggregation in ("sum", "unsorted_segment_sum"):
+        return out
+    count = jnp.maximum(graph.typed_incoming_counts.sum(axis=0), 1.0)
+    if aggregation.endswith("sqrt_n"):
+        count = jnp.sqrt(count)
+    return out / count[:, None]
+
+
 def ranked_aggregation_ok(graph, aggregation: str, ndim_extra: int,
                           d: int, film: bool = False) -> bool:
     """Trace-time eligibility of the ranked kernel path."""
