@@ -715,3 +715,57 @@ def test_gather_aggregate_src_matches_unfused(aggregation):
     )
     # The padded dump row must receive no gradient.
     assert float(jnp.abs(g_f[-1]).max()) == 0.0
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_gather_aggregate_fine_matches_unfused(normalize):
+    """Fused gather + FINE-rank segment-sum (src-order backward,
+    edge_ops._gather_segsum_fine): fine-table outputs AND gradients must
+    match the unfused gather_flat_src -> ranked_segment_sum_table pair."""
+    from tf_gnn_samples_tpu.ops.edge_ops import (
+        gather_aggregate_fine,
+        gather_aggregate_fine_ok,
+        gather_flat_src,
+    )
+    from tf_gnn_samples_tpu.ops.graph import token_window
+
+    rng = np.random.RandomState(23)
+    graph = _random_graph_batch(rng)
+    flat = graph.flat
+    L, n_pad, d = graph.num_edge_types, graph.n_pad, 64
+    assert gather_aggregate_fine_ok(graph, d)
+    e_tot = flat.src_flat.shape[0]
+    fine_rows = rs.fine_rank_table_rows(n_pad, L, e_tot, 256)
+    table = jnp.asarray(
+        rng.randn(L * n_pad + 1, d).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def unfused(tbl):
+        m = gather_flat_src(tbl, flat)
+        if normalize:
+            m = m.astype(jnp.float32) * flat.norm_scale[:, None]
+        return rs.ranked_segment_sum_table(
+            m, flat.tgt_rank, fine_rows, 256, token_window(flat.win_fine)
+        )
+
+    def fused(tbl):
+        return gather_aggregate_fine(tbl, graph, normalize)
+
+    out_u = unfused(table)
+    out_f = fused(table)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-2, atol=2e-2)
+
+    cot = jnp.asarray(rng.randn(*out_u.shape).astype(np.float32))
+
+    def loss(fn, tbl):
+        return jnp.sum(fn(tbl).astype(jnp.float32) * cot)
+
+    g_u = jax.grad(lambda tbl: loss(unfused, tbl))(table)
+    g_f = jax.grad(lambda tbl: loss(fused, tbl))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_f, dtype=np.float32),
+        np.asarray(g_u, dtype=np.float32), rtol=5e-2, atol=5e-2,
+    )
+    # The padded dump row must receive no gradient.
+    assert float(jnp.abs(g_f[-1]).max()) == 0.0

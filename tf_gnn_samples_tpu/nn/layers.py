@@ -40,6 +40,8 @@ from ..ops.edge_ops import (
     aggregate_flat_ranked,
     aggregate_flat_sum,
     dense_aggregate_linear,
+    gather_aggregate_fine,
+    gather_aggregate_fine_ok,
     gather_aggregate_src,
     gather_aggregate_src_ok,
     gather_flat_src,
@@ -993,13 +995,21 @@ def _typed_neighbor_sums(h, graph: GraphBatch, normalize: bool,
         table16 = jnp.broadcast_to(
             h.astype(jnp.bfloat16)[None], (L,) + h.shape
         ).reshape(L * n_pad, d)
-        m = gather_flat_src(table16, flat_g)
-        if normalize:
-            m = m.astype(jnp.float32) * flat_g.norm_scale[:, None]
-        win = token_window(flat_g.win_fine)
-        table = rs.ranked_segment_sum_table(
-            m, flat_g.tgt_rank, fine_rows, 256, win
-        )
+        if gather_aggregate_fine_ok(graph, d):
+            # Fused gather + fine segment-sum: the backward re-gathers the
+            # SMALL fine-table cotangent in src order instead of permuting
+            # the [E, D] per-edge cotangent (RGDCN's step was 47% such
+            # permutes, 8 x 14.9 ms at 1.4M edges; ops/edge_ops.py
+            # _gather_segsum_fine).
+            table = gather_aggregate_fine(table16, graph, normalize)
+        else:
+            m = gather_flat_src(table16, flat_g)
+            if normalize:
+                m = m.astype(jnp.float32) * flat_g.norm_scale[:, None]
+            win = token_window(flat_g.win_fine)
+            table = rs.ranked_segment_sum_table(
+                m, flat_g.tgt_rank, fine_rows, 256, win
+            )
         valid = flat_g.fine_from_flat >= 0
         s_flat = jnp.take(
             table, jnp.maximum(flat_g.fine_from_flat, 0), axis=0

@@ -522,6 +522,116 @@ def gather_aggregate_src(table_flat, graph, aggregation: str,
     return out / count[:, None]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _gather_segsum_fine(table_flat, src_flat, tgt_rank, perm_by_src,
+                        src_sorted_rank, src_to_rank, norm_scale,
+                        win_fine_tok, win_src_tok,
+                        fine_rows, src_rows, block_edges, normalize):
+    """take(table_flat)[src] (optionally 1/c-normalized) -> streaming FINE
+    (receiver, type) rank segment-sum, with a SOURCE-ORDER backward: the
+    per-edge cotangent is the fine table-cotangent row of the edge's
+    (receiver, type) group (times its norm scale), so the backward
+    re-gathers it from the [fine_rows, D] table (small-table row rate)
+    and runs the windowed src-rank segment-sum — never materializing the
+    [E, D] cotangent permute (the per-edge reorder wall; see
+    _gather_segsum, the coarse-table sibling)."""
+    from .graph import token_window
+    from .ranked_segment import ranked_segment_sum_table
+
+    m = jnp.take(table_flat, src_flat, axis=0, mode="clip")
+    if normalize:
+        m = m.astype(jnp.float32) * norm_scale[:, None]
+    return ranked_segment_sum_table(
+        m, tgt_rank, fine_rows, block_edges, token_window(win_fine_tok)
+    )
+
+
+def _gather_segsum_fine_fwd(table_flat, src_flat, tgt_rank, perm_by_src,
+                            src_sorted_rank, src_to_rank, norm_scale,
+                            win_fine_tok, win_src_tok,
+                            fine_rows, src_rows, block_edges, normalize):
+    out = _gather_segsum_fine(
+        table_flat, src_flat, tgt_rank, perm_by_src, src_sorted_rank,
+        src_to_rank, norm_scale, win_fine_tok, win_src_tok,
+        fine_rows, src_rows, block_edges, normalize,
+    )
+    res = (tgt_rank, perm_by_src, src_sorted_rank, src_to_rank, norm_scale,
+           win_src_tok, jnp.zeros((0,), table_flat.dtype))
+    return out, res
+
+
+def _gather_segsum_fine_bwd(fine_rows, src_rows, block_edges, normalize,
+                            res, g):
+    from .graph import token_window
+    from .ranked_segment import ranked_segment_sum_table
+
+    (tgt_rank, perm_by_src, src_sorted_rank, src_to_rank, norm_scale,
+     win_src_tok, proto) = res
+    rank_by_src = jnp.take(tgt_rank, perm_by_src)
+    g_edge = jnp.take(
+        g.astype(jnp.bfloat16), jnp.minimum(rank_by_src, fine_rows - 1),
+        axis=0, mode="clip",
+    )
+    if normalize:
+        ns = jnp.take(norm_scale, perm_by_src)
+        g_edge = (g_edge.astype(jnp.float32) * ns[:, None]).astype(
+            jnp.bfloat16)
+    dt_table = ranked_segment_sum_table(
+        g_edge, src_sorted_rank, src_rows, block_edges,
+        token_window(win_src_tok),
+    )
+    valid = src_to_rank >= 0
+    d_flat = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
+    d_flat = jnp.where(valid[:, None], d_flat, 0.0).astype(proto.dtype)
+    return (d_flat, None, None, None, None, None, None, None, None)
+
+
+_gather_segsum_fine.defvjp(_gather_segsum_fine_fwd, _gather_segsum_fine_bwd)
+
+
+def gather_aggregate_fine_ok(graph, d: int) -> bool:
+    """Eligibility of the fused gather + FINE-rank segment-sum: src-sorted
+    rank machinery present and both the fine receiver table and the
+    src-rank table within the streaming kernel's VMEM model."""
+    from . import ranked_segment as rs
+
+    flat = graph.flat
+    if (getattr(flat, "src_sorted_rank", None) is None
+            or getattr(flat, "src_to_rank", None) is None
+            or getattr(flat, "win_src", None) is None):
+        return False
+    if not (rs.on_tpu() or rs._FORCE_INTERPRET):
+        return False
+    e_tot = flat.src_flat.shape[0]
+    fine_rows = rs.fine_rank_table_rows(
+        graph.n_pad, graph.num_edge_types, e_tot, 256
+    )
+    return (rs.ranked_supported(e_tot, d, fine_rows)
+            and rs.ranked_supported(e_tot, d, _gather_src_rows(graph)))
+
+
+def gather_aggregate_fine(table_flat, graph, normalize: bool,
+                          block_edges: int = 256):
+    """ranked_segment_sum_table(gather_flat_src(table_flat) * norm) over
+    FINE (receiver, type) ranks as ONE custom-VJP op whose backward never
+    materializes an [E, D] reorder (see _gather_segsum_fine). table_flat:
+    type-stacked node table [L*N(+1), D]; caller must have checked
+    gather_aggregate_fine_ok. Returns the fine rank table [fine_rows, D]."""
+    from . import ranked_segment as rs
+
+    flat = graph.flat
+    e_tot = flat.src_flat.shape[0]
+    fine_rows = rs.fine_rank_table_rows(
+        graph.n_pad, graph.num_edge_types, e_tot, block_edges
+    )
+    return _gather_segsum_fine(
+        table_flat, flat.src_flat, flat.tgt_rank, flat.perm_by_src,
+        flat.src_sorted_rank, flat.src_to_rank, flat.norm_scale,
+        flat.win_fine, flat.win_src,
+        fine_rows, _gather_src_rows(graph), block_edges, normalize,
+    )
+
+
 def ranked_aggregation_ok(graph, aggregation: str, ndim_extra: int,
                           d: int, film: bool = False) -> bool:
     """Trace-time eligibility of the ranked kernel path."""
