@@ -183,8 +183,12 @@ def _gather_ranked(table, idx, perm, sorted_rank, to_rank, block_edges,
 def _gather_ranked_fwd(table, idx, perm, sorted_rank, to_rank, block_edges,
                        win):
     out = jnp.take(table, idx, axis=0, mode="clip")
+    # Zero-width proto carries the primal table's row count and dtype so
+    # the backward can pad its cotangent to exactly the primal's shape
+    # (to_rank covers only the first L*n_pad rows; tables may carry an
+    # extra clip/dump row).
     res = (perm, sorted_rank, to_rank, table.shape[0],
-           jnp.zeros((0,), table.dtype))
+           jnp.zeros((table.shape[0], 0), table.dtype))
     return out, res
 
 
@@ -208,6 +212,9 @@ def _gather_ranked_bwd(block_edges, win, res, g):
     valid = to_rank >= 0
     d_table = jnp.take(rank_table, jnp.maximum(to_rank, 0), axis=0)
     d_table = jnp.where(valid[:, None], d_table, 0.0).astype(proto.dtype)
+    pad = proto.shape[0] - d_table.shape[0]
+    if pad:
+        d_table = jnp.pad(d_table, ((0, pad), (0, 0)))
     return (d_table, None, None, None, None)
 
 
@@ -440,8 +447,13 @@ def _gather_segsum_fwd(table_flat, src_flat, rcv_rank, perm_by_src,
         table_flat, src_flat, rcv_rank, perm_by_src, src_sorted_rank,
         src_to_rank, win_fine_tok, win_src_tok, rows, src_rows, block_edges
     )
+    # Zero-width proto carries the primal table's ROW COUNT and dtype so
+    # the backward can emit a cotangent of exactly the primal's shape
+    # (src_to_rank covers only the L*n_pad real rows; callers may pass a
+    # table with an extra clip/dump row).
     res = (rcv_rank, perm_by_src, src_sorted_rank, src_to_rank,
-           win_src_tok, jnp.zeros((0,), table_flat.dtype))
+           win_src_tok, jnp.zeros((table_flat.shape[0], 0),
+                                  table_flat.dtype))
     return out, res
 
 
@@ -463,6 +475,9 @@ def _gather_segsum_bwd(rows, src_rows, block_edges, res, g):
     valid = src_to_rank >= 0
     d_flat = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
     d_flat = jnp.where(valid[:, None], d_flat, 0.0).astype(proto.dtype)
+    pad = proto.shape[0] - d_flat.shape[0]
+    if pad:
+        d_flat = jnp.pad(d_flat, ((0, pad), (0, 0)))
     return (d_flat, None, None, None, None, None, None, None)
 
 
@@ -488,13 +503,13 @@ def gather_aggregate_src_ok(graph, aggregation: str, d: int) -> bool:
     return rs.ranked_supported(e_tot, d, src_rows)
 
 
-def _gather_src_rows(graph) -> int:
+def _gather_src_rows(graph, block_edges: int = 256) -> int:
     from .ranked_segment import _ceil_mult
 
     flat = graph.flat
     e_tot = flat.src_flat.shape[0]
     num_rows = graph.num_edge_types * graph.n_pad + 1
-    return _ceil_mult(min(num_rows + 1, e_tot), 8) + 256 + 8
+    return _ceil_mult(min(num_rows + 1, e_tot), 8) + block_edges + 8
 
 
 def gather_aggregate_src(table_flat, graph, aggregation: str,
@@ -522,10 +537,10 @@ def gather_aggregate_src(table_flat, graph, aggregation: str,
     return out / count[:, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
-def _gather_segsum_fine(table_flat, src_flat, tgt_rank, perm_by_src,
-                        src_sorted_rank, src_to_rank, norm_scale,
-                        win_fine_tok, win_src_tok,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def _gather_segsum_fine(table_flat, src_flat, tgt_rank, fine_rank_by_src,
+                        perm_by_src, src_sorted_rank, src_to_rank,
+                        norm_scale, win_fine_tok, win_src_tok,
                         fine_rows, src_rows, block_edges, normalize):
     """take(table_flat)[src] (optionally 1/c-normalized) -> streaming FINE
     (receiver, type) rank segment-sum, with a SOURCE-ORDER backward: the
@@ -534,7 +549,9 @@ def _gather_segsum_fine(table_flat, src_flat, tgt_rank, perm_by_src,
     re-gathers it from the [fine_rows, D] table (small-table row rate)
     and runs the windowed src-rank segment-sum — never materializing the
     [E, D] cotangent permute (the per-edge reorder wall; see
-    _gather_segsum, the coarse-table sibling)."""
+    _gather_segsum, the coarse-table sibling). `fine_rank_by_src` is the
+    host-precomputed tgt_rank[perm_by_src] (ops/graph.py), so the backward
+    pays no [E] re-gather."""
     from .graph import token_window
     from .ranked_segment import ranked_segment_sum_table
 
@@ -546,17 +563,24 @@ def _gather_segsum_fine(table_flat, src_flat, tgt_rank, perm_by_src,
     )
 
 
-def _gather_segsum_fine_fwd(table_flat, src_flat, tgt_rank, perm_by_src,
-                            src_sorted_rank, src_to_rank, norm_scale,
-                            win_fine_tok, win_src_tok,
+def _gather_segsum_fine_fwd(table_flat, src_flat, tgt_rank, fine_rank_by_src,
+                            perm_by_src, src_sorted_rank, src_to_rank,
+                            norm_scale, win_fine_tok, win_src_tok,
                             fine_rows, src_rows, block_edges, normalize):
     out = _gather_segsum_fine(
-        table_flat, src_flat, tgt_rank, perm_by_src, src_sorted_rank,
-        src_to_rank, norm_scale, win_fine_tok, win_src_tok,
+        table_flat, src_flat, tgt_rank, fine_rank_by_src, perm_by_src,
+        src_sorted_rank, src_to_rank, norm_scale, win_fine_tok, win_src_tok,
         fine_rows, src_rows, block_edges, normalize,
     )
-    res = (tgt_rank, perm_by_src, src_sorted_rank, src_to_rank, norm_scale,
-           win_src_tok, jnp.zeros((0,), table_flat.dtype))
+    # norm_scale is a nondiff static per batch: keep it out of the
+    # forward-to-backward residual set when normalize is off. The
+    # zero-width proto carries the primal table's row count and dtype so
+    # the backward can pad its cotangent to exactly the primal's shape.
+    ns_res = norm_scale if normalize else jnp.zeros((0,), norm_scale.dtype)
+    perm_res = perm_by_src if normalize else jnp.zeros((0,), jnp.int32)
+    res = (fine_rank_by_src, perm_res, src_sorted_rank, src_to_rank, ns_res,
+           win_src_tok, jnp.zeros((table_flat.shape[0], 0),
+                                  table_flat.dtype))
     return out, res
 
 
@@ -565,11 +589,10 @@ def _gather_segsum_fine_bwd(fine_rows, src_rows, block_edges, normalize,
     from .graph import token_window
     from .ranked_segment import ranked_segment_sum_table
 
-    (tgt_rank, perm_by_src, src_sorted_rank, src_to_rank, norm_scale,
-     win_src_tok, proto) = res
-    rank_by_src = jnp.take(tgt_rank, perm_by_src)
+    (fine_rank_by_src, perm_by_src, src_sorted_rank, src_to_rank,
+     norm_scale, win_src_tok, proto) = res
     g_edge = jnp.take(
-        g.astype(jnp.bfloat16), jnp.minimum(rank_by_src, fine_rows - 1),
+        g.astype(jnp.bfloat16), jnp.minimum(fine_rank_by_src, fine_rows - 1),
         axis=0, mode="clip",
     )
     if normalize:
@@ -583,31 +606,39 @@ def _gather_segsum_fine_bwd(fine_rows, src_rows, block_edges, normalize,
     valid = src_to_rank >= 0
     d_flat = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
     d_flat = jnp.where(valid[:, None], d_flat, 0.0).astype(proto.dtype)
-    return (d_flat, None, None, None, None, None, None, None, None)
+    pad = proto.shape[0] - d_flat.shape[0]
+    if pad:
+        d_flat = jnp.pad(d_flat, ((0, pad), (0, 0)))
+    return (d_flat, None, None, None, None, None, None, None, None, None)
 
 
 _gather_segsum_fine.defvjp(_gather_segsum_fine_fwd, _gather_segsum_fine_bwd)
 
 
-def gather_aggregate_fine_ok(graph, d: int) -> bool:
+def gather_aggregate_fine_ok(graph, d: int, block_edges: int = 256) -> bool:
     """Eligibility of the fused gather + FINE-rank segment-sum: src-sorted
     rank machinery present and both the fine receiver table and the
-    src-rank table within the streaming kernel's VMEM model."""
+    src-rank table within the streaming kernel's VMEM model. `block_edges`
+    must match the value the op will be called with (it sizes both rank
+    tables)."""
     from . import ranked_segment as rs
 
     flat = graph.flat
     if (getattr(flat, "src_sorted_rank", None) is None
             or getattr(flat, "src_to_rank", None) is None
+            or getattr(flat, "fine_rank_by_src", None) is None
             or getattr(flat, "win_src", None) is None):
         return False
     if not (rs.on_tpu() or rs._FORCE_INTERPRET):
         return False
     e_tot = flat.src_flat.shape[0]
     fine_rows = rs.fine_rank_table_rows(
-        graph.n_pad, graph.num_edge_types, e_tot, 256
+        graph.n_pad, graph.num_edge_types, e_tot, block_edges
     )
-    return (rs.ranked_supported(e_tot, d, fine_rows)
-            and rs.ranked_supported(e_tot, d, _gather_src_rows(graph)))
+    return (rs.ranked_supported(e_tot, d, fine_rows, block_edges)
+            and rs.ranked_supported(e_tot, d,
+                                    _gather_src_rows(graph, block_edges),
+                                    block_edges))
 
 
 def gather_aggregate_fine(table_flat, graph, normalize: bool,
@@ -625,10 +656,11 @@ def gather_aggregate_fine(table_flat, graph, normalize: bool,
         graph.n_pad, graph.num_edge_types, e_tot, block_edges
     )
     return _gather_segsum_fine(
-        table_flat, flat.src_flat, flat.tgt_rank, flat.perm_by_src,
-        flat.src_sorted_rank, flat.src_to_rank, flat.norm_scale,
-        flat.win_fine, flat.win_src,
-        fine_rows, _gather_src_rows(graph), block_edges, normalize,
+        table_flat, flat.src_flat, flat.tgt_rank, flat.fine_rank_by_src,
+        flat.perm_by_src, flat.src_sorted_rank, flat.src_to_rank,
+        flat.norm_scale, flat.win_fine, flat.win_src,
+        fine_rows, _gather_src_rows(graph, block_edges), block_edges,
+        normalize,
     )
 
 

@@ -56,24 +56,6 @@ def stack_task_batches(batches: Sequence[TaskBatch]) -> TaskBatch:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 
-def shard_batches(batch_iter, n_shards: int):
-    """Group a stream of same-shape TaskBatches into stacked DP super-batches.
-
-    A trailing group smaller than n_shards is padded by repeating its last
-    batch with `num_graphs` zeroed via the graph mask... for simplicity we
-    instead emit the tail batches unstacked for single-device processing.
-    Yields ("dp", stacked) or ("single", batch) tuples.
-    """
-    group: List[TaskBatch] = []
-    for b in batch_iter:
-        group.append(b)
-        if len(group) == n_shards:
-            yield "dp", stack_task_batches(group)
-            group = []
-    for b in group:
-        yield "single", b
-
-
 def make_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
     """Build a jitted data-parallel train step for a SparseGraphModel.
 
