@@ -165,6 +165,17 @@ def _flat(t):
     return t.reshape((t.shape[0] * t.shape[1],) + t.shape[2:])
 
 
+# NOTE on lane alignment (round 3): hidden 320 = 2.5 tiles of 128 lanes.
+# In ISOLATION, 128-aligned widths gather 2.3-4.4x faster (see
+# tools/rowgather_prof.py), so a lane-padded pipeline (pad node tables to
+# 384 before the per-edge gathers, slice after the node-level combine)
+# was built and measured end to end — and came out net SLOWER in-program:
+# XLA's in-context gathers already run at the same ~325M rows/s either
+# way, the algebraic simplifier narrows padded gathers back to 320 and
+# re-pads the [E, D] result (0.7 ms/layer of pure pad) unless
+# optimization_barrier'd, and the [E, 3D] backward stream grows 20%.
+
+
 def _flat_linear_messages(h, W, graph, concat_target=False):
     """Flat-stream variant of _typed_linear_messages: one gather over the
     whole edge stream instead of L per-type gathers — the compute graph no
@@ -500,9 +511,9 @@ def gnn_film_apply(
         if fused:
             flat_g = graph.flat
             e_tot = flat_g.src_flat.shape[0]
-            gb_ranked = take_by_fine_rank(_flat(film), graph)
             act_name = activation_function.lower()
             win = token_window(flat_g.win_fine)
+            gb_ranked = take_by_fine_rank(_flat(film), graph)
             splits = rs.film_column_splits(e_tot, d, gb_ranked.shape[0])
             gather_fusible = (
                 splits == 1
@@ -517,6 +528,12 @@ def gnn_film_apply(
             if gather_fusible:
                 # Source-gather-fused pass: backward recomputes dt in
                 # src-sorted order from small tables — no [E, D] permute.
+                # NOTE: lane-padding this pipeline to 128-aligned widths
+                # (D=320 -> 384) was built and measured SLOWER in-program
+                # (round 3): XLA's in-context gathers run at the same
+                # ~325M rows/s either way (alignment only matters for the
+                # isolated op), the simplifier narrows padded gathers back
+                # unless barriered, and the [E, 3D] stream grows 20%.
                 table = rs.film_fused_src_pass(
                     t_flat, gb_ranked, flat_g.src_flat,
                     flat_g.fine_rank_by_src, flat_g.src_sorted_rank,
