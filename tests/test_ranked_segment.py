@@ -497,6 +497,66 @@ def test_edge_mlp0_target_fused_film_matches_unrolled(normalize):
                                    rtol=8e-2, atol=8e-1)
 
 
+def test_edge_mlp1_self_loop_type_node_side_matches_unrolled():
+    """A pure self-loop edge type (PPI/QM9 add_self_loop_edges) is
+    combined NODE-SIDE by the type-major GNN-Edge-MLP1 path (its tm_self
+    token is shape-encoded by pad_graph_batch); outputs and grads must
+    match the unrolled per-edge path, including self-edge multiplicity."""
+    from tf_gnn_samples_tpu.nn.layers import (gnn_edge_mlp_apply,
+                                              gnn_edge_mlp_init)
+    from tf_gnn_samples_tpu.ops.graph import pad_graph_batch, token_window
+    from tf_gnn_samples_tpu.ops.edge_ops import tm_self_types
+
+    rng = np.random.RandomState(7)
+    n, n_pad, d = 300, 512, 64
+    nodes = np.arange(n, dtype=np.int32)
+    self_adj = np.stack([nodes, nodes], axis=1)
+    # One node gets a DOUBLE self loop (multiplicity 2).
+    self_adj = np.concatenate([self_adj, self_adj[:1]], axis=0)
+    dense_adj = np.stack([rng.randint(0, n, size=1900),
+                          rng.randint(0, n, size=1900)], axis=1
+                         ).astype(np.int32)
+    graph = pad_graph_batch(
+        rng.randn(n, d).astype(np.float32), [dense_adj, self_adj],
+        np.zeros(n, np.int32), 1, n_pad=n_pad, e_pads=[2048, 2048],
+        g_pad=16,
+    )
+    assert tm_self_types(graph) == (False, True)
+    assert 0 < token_window(graph.flat.win_tm) <= 64
+
+    params = gnn_edge_mlp_init(jax.random.PRNGKey(3), 2, d,
+                               use_target_state_as_input=True,
+                               num_edge_hidden_layers=1)
+
+    def run(p, hh, strategy):
+        return gnn_edge_mlp_apply(p, graph, hh,
+                                  activation_function="gelu",
+                                  use_target_state_as_input=True,
+                                  num_edge_hidden_layers=1,
+                                  typed_edge_scan=strategy)
+
+    h = jnp.asarray(rng.randn(n_pad, d).astype(np.float32))
+    out_ref_ = run(params, h, "unroll")
+    out_tm = run(params, h, "auto")
+    real = np.asarray(graph.node_mask) > 0
+    np.testing.assert_allclose(np.asarray(out_tm)[real],
+                               np.asarray(out_ref_)[real],
+                               rtol=5e-2, atol=8e-2)
+
+    def loss(strategy):
+        def f(p, hh):
+            out = run(p, hh, strategy)
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_ref = jax.grad(loss("unroll"), argnums=(0, 1))(params, h)
+    g_tm = jax.grad(loss("auto"), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tm)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-2, atol=8e-1)
+
+
 @pytest.mark.parametrize("act", ["gelu", "relu"])
 def test_edge_mlp1_typed_dense_fused_matches_unrolled(act):
     """GNN-Edge-MLP1 (target state + one hidden layer) rides the fused

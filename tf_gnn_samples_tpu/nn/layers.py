@@ -57,6 +57,11 @@ from ..ops.edge_ops import (
     ranked_table_to_nodes,
     segment_softmax_flat,
     segment_softmax_flat_ranked_t,
+    gather_tm_src,
+    take_by_tm_rank,
+    tm_available,
+    tm_self_types,
+    tm_table_to_nodes,
 )
 from ..ops.graph import GraphBatch, token_window
 from ..ops.typed_stream import (
@@ -802,17 +807,47 @@ def gnn_edge_mlp_apply(
         and rs.film_act_supported(activation_function.lower())
         and ranked_aggregation_ok(graph, "sum", 1, d0, film=True)
     )
-    # One hidden layer + target state (the tuned GNN-Edge-MLP1): the
-    # pre-dense hidden x = elu(ts[src] + tt[tgt]) assembles from node
-    # tables + a rank expand; the type-dependent output dense + act +
-    # aggregation run fused (ranked_segment.typed_dense_aggregate). Two
-    # XLA-shaped alternatives measured SLOWER than the blocked kernel on
-    # PPI (L=3, v5e): L full-stream matmuls + per-edge type select (1.3x
-    # vs 1.7x epoch rate — L-fold FLOPs plus three [E, D] select passes),
-    # and static per-type slices (invalid: the stream is receiver-major
-    # with types interleaved, ops/graph.py).
-    fused1 = (
+    # One hidden layer + target state (the tuned GNN-Edge-MLP1), over the
+    # TYPE-MAJOR stream (ops/graph.py FlatEdges.tm_*): the pre-dense
+    # hidden x = elu(ts[src] + tt[tgt]) assembles from node tables + a
+    # rank expand; the type-dependent output dense W1 then runs as L
+    # FULL-SIZE MXU matmuls on static per-type slices (types are
+    # contiguous in this order) instead of L type-MASKED matmuls per
+    # 256-edge block (the round-2 typed_dense_aggregate kernel — L-fold
+    # matmul FLOPs, measured 8.4 ms/layer fwd+bwd at PPI L=3); the final
+    # gelu + aggregation runs through the fused modulate-activate
+    # streaming kernel with constant gamma=1/beta=0 (recompute-based VJP,
+    # no [E, D] activation residuals).
+    def _tm1_win():
+        w = token_window(graph.flat.win_tm)
+        return w if 0 < w <= 64 else 0
+
+    e_tot0 = graph.flat.rcv_rank.shape[0]
+    tm_fine_rows = rs.fine_rank_table_rows(
+        graph.n_pad, graph.num_edge_types, e_tot0, 256
+    )
+    tm_src_rows = rs._ceil_mult(
+        min(graph.num_edge_types * graph.n_pad + 1, e_tot0), 8
+    ) + 256 + 8
+    tmajor1 = (
         use_target_state_as_input
+        and num_edge_hidden_layers == 1
+        and not normalize_by_num_incoming
+        and typed_edge_scan == "auto"
+        and message_aggregation_function in ("sum", "unsorted_segment_sum")
+        and tm_available(graph)
+        and _tm1_win() > 0
+        and rs.film_act_supported(activation_function.lower())
+        and ranked_aggregation_ok(graph, "sum", 1, d0, film=True)
+        and rs.ranked_supported(e_tot0, d0, tm_fine_rows)
+        and rs.ranked_supported(e_tot0, d0, tm_src_rows)
+    )
+    # Receiver-major fallback with the blocked type-masked kernel
+    # (ranked_segment.typed_dense_aggregate), for batches without the
+    # type-major fields.
+    fused1 = (
+        not tmajor1
+        and use_target_state_as_input
         and num_edge_hidden_layers == 1
         and not normalize_by_num_incoming
         and typed_edge_scan == "auto"
@@ -825,7 +860,87 @@ def gnn_edge_mlp_apply(
         )
     )
     for _step in range(num_timesteps):
-        if fused1:
+        if tmajor1:
+            W0, W1 = params["edge_mlp"]
+            ts = typed_transform(h, W0[:, :d0, :])
+            tt = typed_transform(h, W0[:, d0:, :])
+            flat_g = graph.flat
+            win_tm = _tm1_win()
+            self_types = tm_self_types(graph)
+            beta = take_by_tm_rank(_flat(tt), graph)  # [RPAD, D]
+            m = gather_tm_src(
+                _flat(ts).astype(jnp.bfloat16), graph
+            )  # [E, D] bf16, streaming-ranked VJP
+            # One fused pass: x = elu(m + beta[rank]) with beta expanded
+            # in-VMEM; the VJP recovers elu' from x itself (no [E, D]
+            # beta stream or activation residuals in HBM).
+            x = rs.expand_add_act(
+                m, beta, flat_g.tm_rank, "elu", 256, win_tm
+            )
+            offs = np.cumsum(
+                [0] + [e.senders.shape[0] for e in graph.edges]
+            )
+            # Per-type slices: the W1 dense runs as one FULL-SIZE matmul
+            # per type, and (when the padded slice is STEP-aligned, as
+            # batch-spec batches are) each type aggregates through its own
+            # kernel call — type rank ranges are disjoint, so the tables
+
+            # sum exactly and the [E, D] y concat (measured ~1.2 ms/layer
+            # of pad/copy glue) never exists. Self-loop types contribute
+            # node-side below.
+            aligned = all(
+                (offs[l + 1] - offs[l]) % rs.STEP == 0
+                for l in range(graph.num_edge_types)
+                if not self_types[l]
+            )
+            act_name1 = activation_function.lower()
+            table = jnp.zeros((tm_fine_rows, d0), jnp.float32)
+            if aligned:
+                for l in range(graph.num_edge_types):
+                    if self_types[l]:
+                        continue
+                    y_l = jnp.dot(
+                        x[offs[l]:offs[l + 1]],
+                        W1[l].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)
+                    table = table + rs.act_ranked_aggregate(
+                        y_l, flat_g.tm_rank[offs[l]:offs[l + 1]],
+                        tm_fine_rows, act_name1, 256, win_tm,
+                    )
+            else:
+                # Unaligned per-type pads: one global stream with zeroed
+                # self slices (act(0) = 0 keeps straddling blocks exact).
+                y = jnp.concatenate([
+                    jnp.zeros((offs[l + 1] - offs[l], d0), jnp.bfloat16)
+                    if self_types[l] else
+                    jnp.dot(
+                        x[offs[l]:offs[l + 1]],
+                        W1[l].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)
+                    for l in range(graph.num_edge_types)
+                ], axis=0)
+                table = rs.act_ranked_aggregate(
+                    y, flat_g.tm_rank, tm_fine_rows, act_name1, 256,
+                    win_tm,
+                )
+            agg = tm_table_to_nodes(table, graph)
+            # Node-side self-loop contribution: the message along a
+            # self-loop is a pure node function act(W1 elu(ts_v + tt_v)),
+            # summed once per incident self edge (typed_incoming_counts
+            # carries the multiplicity; 0 for nodes without one).
+            for l in range(graph.num_edge_types):
+                if not self_types[l]:
+                    continue
+                y_self = jnp.dot(
+                    elu(ts[l] + tt[l]), W1[l],
+                    preferred_element_type=jnp.float32,
+                )
+                agg = agg + act(y_self) * (
+                    graph.typed_incoming_counts[l][:, None]
+                )
+        elif fused1:
             W0, W1 = params["edge_mlp"]
             ts = typed_transform(h, W0[:, :d0, :])
             tt = typed_transform(h, W0[:, d0:, :])

@@ -704,6 +704,59 @@ def gather_aggregate_fine(table_flat, graph, normalize: bool,
     )
 
 
+# ---------------------------------------------------------------------------
+# Type-major stream ops (FlatEdges.tm_*): per-type contiguous segments
+# ---------------------------------------------------------------------------
+
+
+def tm_available(graph) -> bool:
+    flat = graph.flat
+    return all(
+        getattr(flat, f, None) is not None
+        for f in ("tm_src_flat", "tm_rank", "tm_perm_by_src", "tm_to_flat",
+                  "tm_from_flat", "tm_to_rcv", "win_tm", "tm_self",
+                  "src_sorted_rank", "src_to_rank", "win_src")
+    )
+
+
+def tm_self_types(graph):
+    """Static per-type self-loop flags of the type-major view (decoded
+    from the shape-encoded FlatEdges.tm_self tokens)."""
+    return tuple(
+        int(tok.shape[0]) == 2 for tok in graph.flat.tm_self
+    )
+
+
+def gather_tm_src(table_flat, graph):
+    """table_flat[tm_src_flat] over the TYPE-MAJOR stream; bwd is the
+    streaming ranked segment-sum via the SHARED src-sorted ranks (the
+    src-sorted values of both stream orders are identical — only the
+    permutation differs, FlatEdges.tm_perm_by_src)."""
+    from .graph import token_window
+
+    flat = graph.flat
+    return _gather_ranked(
+        table_flat, flat.tm_src_flat, flat.tm_perm_by_src,
+        flat.src_sorted_rank, flat.src_to_rank, 256,
+        token_window(flat.win_src),
+    )
+
+
+def take_by_tm_rank(table_flat, graph):
+    """table_flat rows at each TYPE-MAJOR (type, receiver) group rank,
+    with the inverse-take VJP (see take_by_fine_rank)."""
+    flat = graph.flat
+    return _injective_take(table_flat, flat.tm_to_flat, flat.tm_from_flat)
+
+
+def tm_table_to_nodes(table, graph):
+    """Combine a type-major rank table into node rows (take-based on both
+    sides, see fine_table_to_nodes)."""
+    flat = graph.flat
+    ffl = flat.tm_from_flat.reshape(graph.num_edge_types, graph.n_pad)
+    return _fine_combine(table, ffl, flat.tm_to_rcv, graph.n_pad)
+
+
 def ranked_aggregation_ok(graph, aggregation: str, ndim_extra: int,
                           d: int, film: bool = False) -> bool:
     """Trace-time eligibility of the ranked kernel path."""

@@ -127,6 +127,37 @@ class FlatEdges(NamedTuple):
     # kernels build a VMEM-resident rank-ordered message table with one
     # small row take (ranked_segment.film_fused_src_pass).
     src_from_rank: jnp.ndarray = None  # [R_src] int32
+    # TYPE-MAJOR stream view: the same edges in per-type-block order (the
+    # pre-receiver-sort concatenation of the canonical EdgeBlocks). Within
+    # this order the per-type segments are CONTIGUOUS with static offsets
+    # (the padded e_pads), so per-edge TYPE-DEPENDENT dense stages run as
+    # L full-size MXU matmuls on static slices instead of L type-masked
+    # matmuls per block (L-fold FLOPs) — the GNN-Edge-MLP1 hot path.
+    # tm_rank are the gap-free nondecreasing (type, receiver) group ranks
+    # of this order (each type's padded edges form their own dump group);
+    # tm_to_flat / tm_from_flat / tm_to_rcv mirror the fine-rank maps.
+    # The src-SORTED stream of this view has the same ascending values as
+    # the receiver-major view's, so src_sorted_rank / src_to_rank /
+    # win_src above are shared; only the permutation differs.
+    # SELF-LOOP types (every real edge has sender == receiver, e.g. the
+    # PPI/QM9/citation self-loop edge type) are excluded from this view's
+    # windows and node combine: their per-(receiver, type) groups have
+    # degree ~1, which makes rank windows as wide as the edge block (the
+    # streaming kernels' one-hots would grow 8x), while their messages
+    # are pure NODE functions computable as dense [N, D] math with a
+    # per-node multiplicity factor (typed_incoming_counts). tm_self[l]
+    # is a shape-encoded static flag (length 2 = self-loop type, 1 =
+    # streamed); self types' tm_from_flat slots are -1 and their rank
+    # rows map to the dump receiver, so stream-side garbage on their
+    # rows can never reach real nodes.
+    tm_src_flat: jnp.ndarray = None  # [E_tot] int32
+    tm_rank: jnp.ndarray = None  # [E_tot] int32
+    tm_perm_by_src: jnp.ndarray = None  # [E_tot] int32
+    tm_to_flat: jnp.ndarray = None  # [RPAD] int32
+    tm_from_flat: jnp.ndarray = None  # [L * n_pad] int32
+    tm_to_rcv: jnp.ndarray = None  # [RPAD] int32
+    win_tm: jnp.ndarray = None  # [W] uint8 zeros (shape-encoded window)
+    tm_self: Tuple = None  # L x [1 or 2] uint8 zeros (shape-encoded flag)
 
 
 class GraphBatch(NamedTuple):
@@ -190,6 +221,26 @@ def rank_window(ranks: np.ndarray, block: int = 256) -> int:
     return 0
 
 
+def _rank_window_masked(ranks: np.ndarray, relevant: np.ndarray,
+                        block: int = 256) -> int:
+    """rank_window over only the blocks containing any `relevant` edge
+    (see FlatEdges.tm_self: pure self-loop blocks are exempt from the
+    window bound because their rows never reach real nodes)."""
+    e = int(ranks.shape[0])
+    if e == 0:
+        return 16
+    span = 0
+    for s in range(0, e, block):
+        if not relevant[s:s + block].any():
+            continue
+        blk = ranks[s:s + block]
+        span = max(span, int(blk[-1]) - (int(blk[0]) & ~7) + 1)
+    for cand in (16, 32, 64, 128):
+        if span <= cand:
+            return cand
+    return 0
+
+
 def _win_token(win: int) -> np.ndarray:
     return np.zeros((win if win else 1,), dtype=np.uint8)
 
@@ -214,7 +265,10 @@ def unify_flat_windows(flats: Sequence["FlatEdges"]):
             return _win_token(0)
         return _win_token(max(int(t.shape[0]) for t in toks))
 
-    new = {f: merged(f) for f in ("win_fine", "win_src", "win_tgt")}
+    fields = ["win_fine", "win_src", "win_tgt"]
+    if getattr(flats[0], "win_tm", None) is not None:
+        fields.append("win_tm")
+    new = {f: merged(f) for f in fields}
     if all(
         getattr(f, k) is not None and getattr(f, k).shape == v.shape
         for f in flats for k, v in new.items()
@@ -410,6 +464,50 @@ def pad_graph_batch(
         real_f = is_new_f & (tgt_sorted < L * n_pad)
         fine_from_flat[tgt_sorted[real_f]] = tgt_rank[real_f]
 
+    # TYPE-MAJOR stream view (see FlatEdges.tm_*): the pre-sort
+    # concatenation order. Group ranks over tgt_flat are gap-free and
+    # nondecreasing because each type block is receiver-sorted with its
+    # padded (dump) edges last; each type's dump edges form their own
+    # group, whose rank rows map to the dump receiver n_pad and are never
+    # combined into real nodes.
+    e_tot_tm = int(tgt_flat.shape[0])
+    tm_new = np.empty(e_tot_tm, dtype=bool)
+    if e_tot_tm:
+        tm_new[0] = True
+        tm_new[1:] = tgt_flat[1:] != tgt_flat[:-1]
+    tm_rank = (np.cumsum(tm_new) - 1).astype(np.int32)
+    # Static self-loop flags per type (see FlatEdges.tm_self).
+    type_is_self = []
+    for l, adj in enumerate(adjacency_lists):
+        e = int(adj.shape[0])
+        type_is_self.append(
+            e > 0 and bool(np.all(adj[:, 0] == adj[:, 1]))
+        )
+    edge_is_self = np.concatenate([
+        np.full(e.senders.shape[0], type_is_self[l], dtype=bool)
+        for l, e in enumerate(edges)
+    ]) if edges else np.zeros((0,), bool)
+    tm_to_flat = np.zeros((rpad,), dtype=np.int32)
+    tm_to_rcv = np.full((rpad,), n_pad, dtype=np.int32)
+    tm_from_flat = np.full((L * n_pad,), -1, dtype=np.int32)
+    if e_tot_tm:
+        tm_to_flat[tm_rank[tm_new]] = np.minimum(
+            tgt_flat[tm_new], L * n_pad - 1
+        )
+        # Self-loop types are combined node-side: their rank rows point at
+        # the dump receiver and their node slots stay -1, so stream-side
+        # contributions on their rows never reach real nodes.
+        tm_to_rcv[tm_rank[tm_new]] = np.where(
+            edge_is_self[tm_new], n_pad, all_rcv[tm_new]
+        )
+        real_tm = tm_new & (tgt_flat < L * n_pad) & ~edge_is_self
+        tm_from_flat[tgt_flat[real_tm]] = tm_rank[real_tm]
+    tm_perm_by_src = np.argsort(src_flat, kind="stable").astype(np.int32)
+    # Window measured over blocks that contain any NON-self edge (pure
+    # self-loop blocks never contribute real rows; mixed blocks keep the
+    # honest full span so real rows stay inside the kernels' one-hots).
+    tm_win = _rank_window_masked(tm_rank, ~edge_is_self)
+
     flat = FlatEdges(
         src_flat=src_in_stream,
         tgt_flat=tgt_in_stream,
@@ -434,6 +532,17 @@ def pad_graph_batch(
         fine_rank_by_src=tgt_rank[perm_by_src],
         fine_from_flat=fine_from_flat,
         src_from_rank=src_from_rank,
+        tm_src_flat=src_flat,
+        tm_rank=tm_rank,
+        tm_perm_by_src=tm_perm_by_src,
+        tm_to_flat=tm_to_flat,
+        tm_from_flat=tm_from_flat,
+        tm_to_rcv=tm_to_rcv,
+        win_tm=_win_token(tm_win),
+        tm_self=tuple(
+            np.zeros((2 if s else 1,), dtype=np.uint8)
+            for s in type_is_self
+        ),
     )
 
     return GraphBatch(

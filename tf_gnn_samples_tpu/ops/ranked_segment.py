@@ -617,6 +617,270 @@ def _expand_bwd(table_rows, block_edges, win, res, g):
 ranked_expand_table.defvjp(_expand_fwd, _expand_bwd)
 
 
+# ---- fused expand-add-activate (GNN-Edge-MLP hidden assembly) --------------
+
+
+def _expand_add_act_kernel(start_ref, rank_ref, m_ref, beta_ref, x_ref,
+                           *, be, rl, sub, act):
+    """x = act(m + beta[rank]) in one streaming pass: the rank-indexed
+    beta table is expanded in-VMEM by the windowed one-hot, so neither
+    the expanded [E, D] beta stream nor an activation residual ever
+    exists in HBM (the VJP recovers act' from x itself)."""
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[pl.program_id(0) * sub + s], 8)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        slab = beta_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+        beta_e = jnp.dot(oh_t, slab, preferred_element_type=jnp.float32)
+        m = m_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        x_ref[pl.ds(s * be, be), :] = act(m + beta_e).astype(x_ref.dtype)
+
+
+def _expand_add_act_bwd_kernel(start_ref, rank_ref, x_ref, dx_ref,
+                               dm_ref, dbeta_ref, *, be, rl, sub, dact_out):
+    """VJP of expand-add-act for activations whose derivative is a
+    function of the OUTPUT (dact_out(x)): dm = dact_out(x) * dx per edge,
+    dbeta = its windowed rank segment-sum."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        x = x_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        dx = dx_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        dz = (dact_out(x) * dx).astype(jnp.bfloat16)
+        dm_ref[pl.ds(s * be, be), :] = dz
+        contrib = jnp.dot(oh, dz, preferred_element_type=jnp.float32)
+        cur = dbeta_ref[pl.ds(start, rl), :]
+        dbeta_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+# Activations invertible enough that act'(z) is a function of act(z):
+# elu: act' = 1 (x > 0) else x + 1;  relu: x > 0;  leaky is NOT (x<0 maps
+# two z values per x... it is: z = x/0.2, act' = 0.2) — include it.
+_ACTS_FROM_OUT = {
+    "elu": lambda x: jnp.where(x > 0, 1.0, x + 1.0),
+    "relu": lambda x: (x > 0).astype(jnp.float32),
+    "leaky_relu": lambda x: jnp.where(x > 0, 1.0, 0.2),
+    "linear": lambda x: jnp.ones_like(x),
+}
+
+
+def expand_add_act_supported(act: str) -> bool:
+    return act.lower() in _ACTS_FROM_OUT and act.lower() in _ACTS
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _expand_add_act_impl(m, beta_table, ranks, *, block_edges, act, win=0):
+    e, dim = m.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_expand_add_act_kernel, be=be, rl=rl, sub=sub,
+                             act=_ACTS[act][0])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # beta table resident
+        ],
+        out_specs=pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
+        compiler_params=_params(
+            beta_table.shape[0] * _ceil_mult(dim, 128)
+            * beta_table.dtype.itemsize),
+        interpret=_interpret(),
+    )(starts, blocks, m, beta_table)
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges",
+                                             "act", "win"))
+def _expand_add_act_bwd_impl(x, dx, ranks, *, table_rows, block_edges, act,
+                             win=0):
+    e, dim = x.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_expand_add_act_bwd_kernel, be=be, rl=rl,
+                             sub=sub, dact_out=_ACTS_FROM_OUT[act])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        ),
+        compiler_params=_params(table_rows * _ceil_mult(dim, 128) * 4),
+        interpret=_interpret(),
+    )(starts, blocks, x, dx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def expand_add_act(m, beta_table, ranks, act: str, block_edges: int = 256,
+                   win: int = 0):
+    """x[e] = act(m[e] + beta_table[rank[e]]) with a fused streaming VJP:
+    forward expands beta in-VMEM; backward recovers act' from x (the
+    saved OUTPUT — no activation residuals), emitting dm (bf16) and the
+    windowed dbeta rank table. `act` must be in _ACTS_FROM_OUT."""
+    return _expand_add_act_impl(m, beta_table, ranks,
+                                block_edges=block_edges, act=act, win=win)
+
+
+def _eaa_fwd(m, beta_table, ranks, act, block_edges, win):
+    x = _expand_add_act_impl(m, beta_table, ranks, block_edges=block_edges,
+                             act=act, win=win)
+    res = (x, ranks, beta_table.shape[0],
+           jnp.zeros((0,), m.dtype), jnp.zeros((0,), beta_table.dtype))
+    return x, res
+
+
+def _eaa_bwd(act, block_edges, win, res, g):
+    x, ranks, rpad, m_proto, b_proto = res
+    dm, dbeta = _expand_add_act_bwd_impl(
+        x, g.astype(jnp.bfloat16), ranks, table_rows=rpad,
+        block_edges=block_edges, act=act, win=win,
+    )
+    return (dm.astype(m_proto.dtype), dbeta.astype(b_proto.dtype), None)
+
+
+expand_add_act.defvjp(_eaa_fwd, _eaa_bwd)
+
+
+# ---- fused activate-aggregate (act on messages + ranked segment-sum) -------
+
+
+def _act_agg_kernel(start_ref, rank_ref, msg_ref, out_ref, *, be, rl, sub,
+                    act):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        a = act(m).astype(jnp.bfloat16)
+        contrib = jnp.dot(oh, a, preferred_element_type=jnp.float32)
+        cur = out_ref[pl.ds(start, rl), :]
+        out_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+def _act_agg_bwd_kernel(start_ref, rank_ref, msg_ref, g_ref, dmsg_ref,
+                        *, be, rl, sub, dact):
+    """dmsg-only backward: recomputes act'(msgs) and expands the table
+    cotangent in-VMEM — no d_gamma/d_beta side products (compare
+    _film_bwd_kernel, which pays two extra one-hot matmuls for them)."""
+    c = pl.program_id(0)
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        g_e = jnp.dot(
+            oh_t, g_ref[pl.ds(start, rl), :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        dmsg_ref[pl.ds(s * be, be), :] = (dact(m) * g_e).astype(
+            dmsg_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges",
+                                             "act", "win"))
+def _act_agg_impl(msgs, ranks, *, table_rows, block_edges, act, win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_act_agg_kernel, be=be, rl=rl, sub=sub,
+                             act=_ACTS[act][0])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(table_rows * _ceil_mult(dim, 128) * 4),
+        interpret=_interpret(),
+    )(starts, blocks, msgs)
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "act", "win"))
+def _act_agg_bwd_impl(msgs, g16, ranks, *, block_edges, act, win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_act_agg_bwd_kernel, be=be, rl=rl, sub=sub,
+                             dact=_ACTS[act][1])
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bf16 g table resident
+        ],
+        out_specs=pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, dim), jnp.bfloat16),
+        compiler_params=_params(
+            g16.shape[0] * _ceil_mult(dim, 128) * 2),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, g16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def act_ranked_aggregate(msgs, ranks, table_rows: int, act: str = "relu",
+                         block_edges: int = 256, win: int = 0):
+    """table[r] = sum_{e: rank(e)==r} act(msgs[e]): the fused FiLM
+    aggregate without the modulation tables (GNN-Edge-MLP's outer
+    activation on messages). Backward is a single dmsg-only streaming
+    kernel (recompute act', expand the table cotangent in-VMEM)."""
+    return _act_agg_impl(msgs, ranks, table_rows=table_rows,
+                         block_edges=block_edges, act=act, win=win)
+
+
+def _aagg_fwd(msgs, ranks, table_rows, act, block_edges, win):
+    out = _act_agg_impl(msgs, ranks, table_rows=table_rows,
+                        block_edges=block_edges, act=act, win=win)
+    return out, (msgs, ranks)
+
+
+def _aagg_bwd(table_rows, act, block_edges, win, res, g):
+    msgs, ranks = res
+    dmsg = _act_agg_bwd_impl(msgs, g.astype(jnp.bfloat16), ranks,
+                             block_edges=block_edges, act=act, win=win)
+    return (dmsg.astype(msgs.dtype), None)
+
+
+act_ranked_aggregate.defvjp(_aagg_fwd, _aagg_bwd)
+
+
 # ---- fused per-head weighted segment-sum (RGAT aggregation) ---------------
 
 
