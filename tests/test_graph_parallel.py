@@ -253,6 +253,60 @@ def test_gp_film_kw_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.parametrize("target_state", [False, True])
+def test_gp_rgin_matches_single_device(target_state):
+    _layer_equivalence(
+        "rgin",
+        dict(use_target_state_as_input=target_state,
+             num_edge_MLP_hidden_layers=1),
+        dict(activation_function="relu",
+             use_target_state_as_input=target_state,
+             num_edge_MLP_hidden_layers=1,
+             typed_edge_scan="unroll"),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_rgin_no_mlp_matches_single_device():
+    _layer_equivalence(
+        "rgin",
+        dict(num_edge_MLP_hidden_layers=None),
+        dict(activation_function="relu",
+             num_edge_MLP_hidden_layers=None,
+             typed_edge_scan="unroll"),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.parametrize("normalize", [False, True])
+def test_gp_gnn_edge_mlp_matches_single_device(normalize):
+    _layer_equivalence(
+        "gnn_edge_mlp",
+        dict(use_target_state_as_input=True, num_edge_hidden_layers=1),
+        dict(activation_function="gelu",
+             use_target_state_as_input=True, num_edge_hidden_layers=1,
+             normalize_by_num_incoming=normalize,
+             typed_edge_scan="unroll"),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.parametrize("full_state,tie", [(False, False), (True, True),
+                                            (False, True)])
+def test_gp_rgdcn_matches_single_device(full_state, tie):
+    _layer_equivalence(
+        "rgdcn",
+        dict(num_channels=4,
+             use_full_state_for_channel_weights=full_state,
+             tie_channel_weights=tie),
+        dict(num_channels=4, activation_function="relu",
+             use_full_state_for_channel_weights=full_state,
+             tie_channel_weights=tie,
+             typed_edge_scan="unroll"),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
 def test_gp_film_halo_matches_single_device():
     from tf_gnn_samples_tpu.nn.layers import gnn_film_apply, gnn_film_init
     from tf_gnn_samples_tpu.parallel.graph_parallel import (
@@ -294,7 +348,8 @@ def test_gp_film_halo_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
-@pytest.mark.parametrize("model_name", ["RGCN", "GNN-FiLM", "GGNN", "RGAT"])
+@pytest.mark.parametrize("model_name", ["RGCN", "GNN-FiLM", "GGNN", "RGAT",
+                                        "RGIN", "GNN-Edge-MLP1", "RGDCN"])
 def test_graph_parallel_model_train(model_name, tmp_path):
     """End-to-end: model.train with graph_parallel=2 runs the sharded
     propagation under the task-generic step and reduces the loss."""

@@ -16,10 +16,11 @@ than `max_nodes_in_batch` is simply unhandled there — SURVEY.md §5
   reduce-scatter, inserted automatically), and optimizer updates run on
   replicated parameters after a `psum`.
 
-Supported layer families (GP_LAYERS): RGCN, GGNN, GNN-FiLM, RGAT —
-per-type weights stay replicated; per-edge work scales 1/P; node-state
-memory scales 1/P, which is what lets a graph too big for one chip's HBM
-train at all. `make_gp_task_steps` + `partition_task_batch` integrate this
+Supported layer families (GP_LAYERS): ALL SEVEN — RGCN, GGNN, GNN-FiLM,
+RGAT, RGIN, GNN-Edge-MLP, RGDCN (matching the reference's full surface,
+gnns/__init__.py:1-7). Per-type weights stay replicated; per-edge work
+scales 1/P; node-state memory scales 1/P, which is what lets a graph too
+big for one chip's HBM train at all. `make_gp_task_steps` + `partition_task_batch` integrate this
 with the model runtime: set model param `graph_parallel: P` (the task's
 input/output models run replicated on the padded batch; only the
 propagation is sharded). A halo-exchange variant (boundary features only,
@@ -39,6 +40,7 @@ from ..ops.graph import bucket_size
 from ..ops.edge_ops import (
     aggregate_flat,
     gather_flat_src,
+    gather_flat_tgt,
 )
 from ..runtime.optimizers import clip_grads_per_tensor
 
@@ -668,11 +670,181 @@ def gp_film_halo_layer(gnn_params, shard: GPHaloShard, h_local,
     return h_local
 
 
+def _gp_typed_mlp_messages(weights, shard: GPShard, h_local, axis_name,
+                           concat_target: bool, inner_act):
+    """Per-edge typed-MLP messages over the partition: the FIRST (linear)
+    MLP layer is node-sided on the all-gathered typed tables (with the
+    concat(source, target) input split into source/target halves, exactly
+    as the single-device path); later layers run per-edge as type-masked
+    matmuls — correctness-first (L-fold matmul FLOPs; the type counts that
+    use GP are small). Returns (messages [E_dev, D], n_global)."""
+    flat = shard.flat
+    W0 = weights[0]
+    d = h_local.shape[-1]
+    if concat_target:
+        ts_l = jnp.einsum("nd,lde->lne", h_local, W0[:, :d, :],
+                          preferred_element_type=jnp.float32)
+        tt_l = jnp.einsum("nd,lde->lne", h_local, W0[:, d:, :],
+                          preferred_element_type=jnp.float32)
+        ts = jax.lax.all_gather(ts_l, axis_name, axis=1, tiled=True)
+        tt = jax.lax.all_gather(tt_l, axis_name, axis=1, tiled=True)
+        L, n_global, D = ts.shape
+        m = (gather_flat_src(ts.reshape(L * n_global, D), flat)
+             + gather_flat_tgt(tt.reshape(L * n_global, D), flat))
+    else:
+        t_l = jnp.einsum("nd,lde->lne", h_local, W0,
+                         preferred_element_type=jnp.float32)
+        t = jax.lax.all_gather(t_l, axis_name, axis=1, tiled=True)
+        L, n_global, D = t.shape
+        m = gather_flat_src(t.reshape(L * n_global, D), flat)
+    if len(weights) > 1:
+        # Padded edges decode to type L -> every mask false -> zero
+        # message (harmless: their receiver is the sliced-off dump row).
+        et = jnp.minimum(flat.src_flat // n_global, L)
+        for W in weights[1:]:
+            z = inner_act(m)
+            out = None
+            for l in range(L):
+                part = jnp.dot(z, W[l], preferred_element_type=jnp.float32)
+                part = part * (et == l).astype(part.dtype)[:, None]
+                out = part if out is None else out + part
+            m = out
+    return m, n_global
+
+
+def gp_rgin_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
+                  *, num_timesteps=1, activation_function="relu",
+                  message_aggregation_function="sum",
+                  use_target_state_as_input=False,
+                  num_edge_MLP_hidden_layers=1,
+                  num_aggr_MLP_hidden_layers=None, **_):
+    """RGIN over the partition (reference semantics: gnns/rgin.py:77-139 —
+    per-type edge MLPs, activation on messages, optional aggregation MLP,
+    activation + unconditional LayerNorm)."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    for _ in range(num_timesteps):
+        if num_edge_MLP_hidden_layers is not None:
+            m, _ = _gp_typed_mlp_messages(
+                gnn_params["edge_mlp"], shard, h_local, axis_name,
+                use_target_state_as_input, act,
+            )
+            msgs = act(m)  # act on MLP outputs (rgin.py:128-129)
+        else:
+            # Raw source states as messages (rgin.py:121-124): one
+            # all_gather of h; the message is type-independent, so the
+            # type-offset index reduces modulo n_global.
+            h_full = jax.lax.all_gather(h_local, axis_name, axis=0,
+                                        tiled=True)
+            n_global = h_full.shape[0]
+            msgs = jnp.take(
+                h_full, shard.flat.src_flat % n_global, axis=0, mode="clip"
+            ) * shard.flat.mask[:, None]
+        agg = aggregate_flat(msgs, shard.flat, n_local,
+                             message_aggregation_function)
+        if num_aggr_MLP_hidden_layers is not None:
+            from ..nn.mlp import mlp_apply
+
+            agg = mlp_apply(gnn_params["aggr_mlp"], agg, act)
+        h_local = layer_norm(gnn_params["ln"], act(agg))
+    return h_local
+
+
+def gp_gnn_edge_mlp_layer(gnn_params, shard: GPShard, h_local,
+                          axis_name: str, *, num_timesteps=1,
+                          activation_function="relu",
+                          message_aggregation_function="sum",
+                          normalize_by_num_incoming=False,
+                          use_target_state_as_input=True,
+                          num_edge_hidden_layers=1, **_):
+    """GNN-Edge-MLP over the partition (reference semantics:
+    gnns/gnn_edge_mlp.py:73-119 — fixed elu inner activation, optional
+    1/c normalization of the MLP output, activation on messages,
+    unconditional LayerNorm after aggregation)."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+
+    act = get_activation(activation_function)
+    elu = get_activation("elu")
+    n_local = h_local.shape[0]
+    for _ in range(num_timesteps):
+        m, _ = _gp_typed_mlp_messages(
+            gnn_params["edge_mlp"], shard, h_local, axis_name,
+            use_target_state_as_input, elu,
+        )
+        if normalize_by_num_incoming:
+            m = m * shard.flat.norm_scale[:, None]
+        msgs = act(m)  # activation on messages (gnn_edge_mlp.py:112)
+        agg = aggregate_flat(msgs, shard.flat, n_local,
+                             message_aggregation_function)
+        h_local = layer_norm(gnn_params["ln"], agg)
+    return h_local
+
+
+def gp_rgdcn_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
+                   *, num_timesteps=1, num_channels=8, channel_dim=None,
+                   use_full_state_for_channel_weights=False,
+                   tie_channel_weights=False, activation_function="relu",
+                   message_aggregation_function="sum",
+                   normalize_by_num_incoming=True, **_):
+    """RGDCN over the partition, in the aggregate-first form (see
+    nn/layers.py rgdcn_apply): messages are LINEAR in the source state
+    and the activation applies after aggregation, so each timestep is
+    ONE all_gather of the raw states (the cheapest GP collective of any
+    family), per-(type, local receiver) neighbor sums, and node-LOCAL
+    dynamic-kernel contractions (the kernels depend on the TARGET state,
+    which each device owns)."""
+    from ..nn.activations import get_activation
+    from ..nn.layers import _rgdcn_type_contraction
+
+    if message_aggregation_function not in ("sum", "unsorted_segment_sum"):
+        raise ValueError(
+            "graph-parallel RGDCN supports sum aggregation, got %r"
+            % message_aggregation_function
+        )
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    W_wc = gnn_params["W_wc"]
+    L = W_wc.shape[0]
+    if channel_dim is None:
+        channel_dim = h_local.shape[-1] // num_channels
+    for _ in range(num_timesteps):
+        h_full = jax.lax.all_gather(h_local, axis_name, axis=0, tiled=True)
+        n_global = h_full.shape[0]
+        flat = shard.flat
+        m = jnp.take(h_full, flat.src_flat % n_global, axis=0, mode="clip")
+        if normalize_by_num_incoming:
+            m = m * flat.norm_scale[:, None]
+        else:
+            m = m * flat.mask[:, None]
+        et = jnp.minimum(flat.src_flat // n_global, L)
+        seg = et * (n_local + 1) + jnp.minimum(flat.receivers, n_local)
+        S = jax.ops.segment_sum(m, seg, (L + 1) * (n_local + 1))
+        S = S.reshape(L + 1, n_local + 1, -1)[:L, :n_local]
+        h_chunked = h_local.reshape(n_local, num_channels, channel_dim)
+        S_chunk = S.reshape(L, n_local, num_channels, channel_dim)
+        out = None
+        for l in range(L):
+            part = _rgdcn_type_contraction(
+                h_local, h_chunked, S_chunk[l], W_wc[l], act, channel_dim,
+                use_full_state_for_channel_weights, tie_channel_weights,
+            )
+            out = part if out is None else out + part
+        h_local = act(out).reshape(n_local, num_channels * channel_dim)
+    return h_local
+
+
 GP_LAYERS = {
     "rgcn": gp_rgcn_layer_kw,
     "gnn_film": gp_film_layer_kw,
     "ggnn": gp_ggnn_layer,
     "rgat": gp_rgat_layer,
+    "rgin": gp_rgin_layer,
+    "gnn_edge_mlp": gp_gnn_edge_mlp_layer,
+    "rgdcn": gp_rgdcn_layer,
 }
 
 
