@@ -407,3 +407,46 @@ def test_graph_parallel_matches_single_device_step():
     gp_metrics = gp_eval(model.model_params_tree, dev_batch, shards)
     np.testing.assert_allclose(float(gp_metrics["loss"]),
                                float(ref_metrics["loss"]), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+def test_gp_epoch_composes_with_device_cache():
+    """graph_parallel > 1 + cache_batches_on_device: batches are packed
+    and PARTITIONED once, then reused device-resident across epochs
+    (host-side partitioning leaves the per-epoch critical path)."""
+    import __graft_entry__ as ge
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=32, n_layers=2, seed=7
+    )
+    model.params["graph_parallel"] = 2
+    model.params["max_nodes_in_batch"] = 40
+    model.params["cache_batches_on_device"] = True
+
+    calls = {"n": 0}
+    orig_iter = task.make_minibatch_iterator
+
+    def counting_iter(*a, **kw):
+        calls["n"] += 1
+        return orig_iter(*a, **kw)
+
+    task.make_minibatch_iterator = counting_iter
+    losses = []
+    for _ in range(3):
+        loss, metrics, n_graphs, *_ = model._run_epoch(
+            "gp", samples, DataFold.TRAIN, quiet=True
+        )
+        losses.append(loss)
+        assert n_graphs == len(samples)
+    assert calls["n"] == 1  # packed + partitioned exactly once
+    assert losses[-1] < losses[0], losses
+    assert DataFold.TRAIN in model._gp_batch_cache
+
+    # repack_cached_every invalidates on the cadence boundary:
+    model.params["repack_cached_every"] = 2
+    model._run_epoch("gp", samples, DataFold.TRAIN, quiet=True)  # epoch 4
+    n_after = calls["n"]
+    model._run_epoch("gp", samples, DataFold.TRAIN, quiet=True)  # epoch 5
+    assert calls["n"] == n_after + 1
+    task.make_minibatch_iterator = orig_iter

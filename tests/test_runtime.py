@@ -510,3 +510,45 @@ def test_dp_epoch_composes_with_device_cache():
     model._run_epoch("dp", samples, DataFold.TRAIN, quiet=True)  # epoch 5
     assert calls["n"] == n_after + 1  # re-packed on the cadence boundary
     task.make_minibatch_iterator = orig_iter
+
+
+def test_dp_epoch_scan_epochs_composes():
+    """num_model_replicas > 1 + cache_batches_on_device + scan_epochs:
+    after the build epoch, epochs run as ONE dispatch per shape group
+    (lax.scan of the shard_map'd DP step) and training still converges."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    import __graft_entry__ as ge
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=32, n_layers=2, seed=13
+    )
+    model.params["num_model_replicas"] = 2
+    model.params["max_nodes_in_batch"] = 40
+    model.params["cache_batches_on_device"] = True
+    model.params["scan_epochs"] = True
+
+    calls = {"n": 0}
+    orig_iter = task.make_minibatch_iterator
+
+    def counting_iter(*a, **kw):
+        calls["n"] += 1
+        return orig_iter(*a, **kw)
+
+    task.make_minibatch_iterator = counting_iter
+    losses = []
+    for _ in range(4):
+        loss, metrics, n_graphs, *_ = model._run_epoch(
+            "dp-scan", samples, DataFold.TRAIN, quiet=True
+        )
+        losses.append(loss)
+        assert n_graphs == len(samples)
+    assert calls["n"] == 1  # packed exactly once, then device-cached
+    assert losses[-1] < losses[0], losses
+    assert DataFold.TRAIN in model._dp_stacked_cache
+    # The per-group device arrays were dropped after super-stacking:
+    groups, _ = model._dp_group_cache[DataFold.TRAIN]
+    assert all(g[0] is None for g in groups)
+    # Metric list covers every real batch of the fold:
+    assert sum(len(g[1]) for g in groups) == len(metrics)
+    task.make_minibatch_iterator = orig_iter

@@ -67,6 +67,14 @@ def make_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
     gradients are the graph-count-weighted psum, i.e. exactly the gradient
     of the concatenated batch.
     """
+    return jax.jit(make_dp_train_fn(model, mesh, axis_name),
+                   donate_argnums=(0, 1))
+
+
+def make_dp_train_fn(model, mesh: Mesh, axis_name: str = "dp"):
+    """UNJITTED shard_map'd data-parallel train step (see
+    make_dp_train_step) — composable inside lax.scan for one-dispatch
+    scanned epochs (runtime/model.py _run_epoch_dp_scanned)."""
     clip_norm = model.params["clamp_gradient_norm"]
 
     def per_device(params, opt_state, rng, batch: TaskBatch):
@@ -102,14 +110,20 @@ def make_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
         out_specs=(P(), P(), P(axis_name)),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return sharded
 
 
 def make_dp_eval_step(model, mesh: Mesh, axis_name: str = "dp",
                       reduce_metrics: bool = False):
-    """Eval step over stacked batches. With reduce_metrics the metric sums
-    are psum'd to one dict; default returns per-device metrics (leading
-    axis P) to preserve per-minibatch metric semantics."""
+    """Jitted eval step over stacked batches (see make_dp_eval_fn)."""
+    return jax.jit(make_dp_eval_fn(model, mesh, axis_name, reduce_metrics))
+
+
+def make_dp_eval_fn(model, mesh: Mesh, axis_name: str = "dp",
+                    reduce_metrics: bool = False):
+    """UNJITTED eval step over stacked batches. With reduce_metrics the
+    metric sums are psum'd to one dict; default returns per-device metrics
+    (leading axis P) to preserve per-minibatch metric semantics."""
 
     def per_device(params, batch: TaskBatch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
@@ -130,4 +144,4 @@ def make_dp_eval_step(model, mesh: Mesh, axis_name: str = "dp",
         out_specs=P() if reduce_metrics else P(axis_name),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return sharded

@@ -189,6 +189,13 @@ class SparseGraphModel(ABC):
         # Data-parallel device cache: fold -> (stacked replica groups,
         # fold totals); see _run_epoch_dp.
         self._dp_group_cache: Dict[Any, Any] = {}
+        # Graph-parallel device cache: fold -> (list of (dev_batch,
+        # shards, num_graphs), fold totals); see _run_epoch_graph_parallel.
+        self._gp_batch_cache: Dict[Any, Any] = {}
+        # Scanned data-parallel epochs: fold -> super-stacked groups, plus
+        # the jitted scan-of-shard_map epoch fns (see _run_epoch_dp_scanned).
+        self._dp_stacked_cache: Dict[Any, Any] = {}
+        self._dp_epoch_fns = None
         self._jitted_adj_build = None
         self._dense_adj_cached_gb = 0.0
         self._fold_adj_gb: Dict[Any, float] = {}
@@ -499,6 +506,19 @@ class SparseGraphModel(ABC):
                     "graph_parallel=%d but only %d devices visible"
                     % (gp, len(jax.devices()))
                 )
+            if data_fold == DataFold.TRAIN:
+                # Same repack-cadence bookkeeping as the single-device
+                # cache path below (reference re-packs per epoch).
+                self._train_epochs_seen += 1
+                repack_every = int(
+                    self.params.get("repack_cached_every") or 0
+                )
+                if (self.params.get("cache_batches_on_device")
+                        and repack_every > 0
+                        and self._train_epochs_seen > 1
+                        and (self._train_epochs_seen - 1) % repack_every
+                        == 0):
+                    self._invalidate_fold_cache(data_fold)
             return self._run_epoch_graph_parallel(
                 epoch_name, data, data_fold, gp, quiet
             )
@@ -507,14 +527,6 @@ class SparseGraphModel(ABC):
                 raise ValueError(
                     "num_model_replicas=%d but only %d devices visible"
                     % (replicas, len(jax.devices()))
-                )
-            if self.params.get("scan_epochs") and not getattr(
-                    self, "_warned_dp_cache", False):
-                self._warned_dp_cache = True
-                self.log_line(
-                    "WARNING: scan_epochs is not supported with "
-                    "num_model_replicas > 1; running dispatch-per-group "
-                    "epochs (cache_batches_on_device IS honored)."
                 )
             if data_fold == DataFold.TRAIN:
                 # Same repack-cadence bookkeeping as the single-device
@@ -652,6 +664,8 @@ class SparseGraphModel(ABC):
         self._batch_cache.pop(data_fold, None)
         self._stacked_cache.pop(data_fold, None)
         self._dp_group_cache.pop(data_fold, None)
+        self._gp_batch_cache.pop(data_fold, None)
+        self._dp_stacked_cache.pop(data_fold, None)
         self._dense_adj_cached_gb -= self._fold_adj_gb.pop(data_fold, 0.0)
 
     def _empty_like_batch(self, batch: TaskBatch) -> TaskBatch:
@@ -712,6 +726,11 @@ class SparseGraphModel(ABC):
             device_metric_groups.append((metrics, counts))
 
         cached = self._dp_group_cache.get(data_fold) if cache_on else None
+        if cached is not None and self.params.get("scan_epochs", False):
+            # One-dispatch epochs over the cached replica groups:
+            # lax.scan of the shard_map'd DP step per shape group.
+            return self._run_epoch_dp_scanned(data_fold, cached, replicas,
+                                              start_time)
         if cached is not None:
             groups, (processed_graphs, processed_nodes, processed_edges) = \
                 cached
@@ -794,6 +813,128 @@ class SparseGraphModel(ABC):
             processed_edges / epoch_time,
         )
 
+    def _run_epoch_dp_scanned(
+        self, data_fold: DataFold, cached, replicas: int, start_time: float
+    ) -> Tuple[float, List[Dict[str, Any]], int, float, float, float]:
+        """Scanned data-parallel epochs: lax.scan of the shard_map'd DP
+        step over super-stacked [G, P, ...] replica groups — ONE device
+        dispatch per shape group per epoch, composing scan_epochs with
+        num_model_replicas (group membership frozen like the single-device
+        scan cache; TRAIN reshuffles group and within-group order)."""
+        from ..parallel.data_parallel import (
+            make_dp_eval_fn,
+            make_dp_train_fn,
+            make_mesh,
+        )
+
+        if self._dp_epoch_fns is None:
+            mesh = make_mesh(replicas)
+            dp_train_fn = make_dp_train_fn(self, mesh)
+            dp_eval_fn = make_dp_eval_fn(self, mesh)
+
+            def train_epoch(params, opt_state, rng, gstacked):
+                def body(carry, batch_p):
+                    params, opt_state, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, metrics = dp_train_fn(
+                        params, opt_state, sub, batch_p
+                    )
+                    return (params, opt_state, rng), metrics
+
+                (params, opt_state, _), metrics = jax.lax.scan(
+                    body, (params, opt_state, rng), gstacked
+                )
+                return params, opt_state, metrics
+
+            def eval_epoch(params, gstacked):
+                def body(carry, batch_p):
+                    return carry, dp_eval_fn(params, batch_p)
+
+                _, metrics = jax.lax.scan(body, (), gstacked)
+                return metrics
+
+            self._dp_epoch_fns = (
+                jax.jit(train_epoch, donate_argnums=(0, 1)),
+                jax.jit(eval_epoch),
+            )
+        train_epoch_fn, eval_epoch_fn = self._dp_epoch_fns
+
+        groups, (processed_graphs, processed_nodes, processed_edges) = cached
+        sup = self._dp_stacked_cache.get(data_fold)
+        if sup is None:
+            by_key: Dict[Any, List[int]] = {}
+            for i, (stacked, _counts) in enumerate(groups):
+                key = tuple(
+                    (leaf.shape, str(leaf.dtype))
+                    for leaf in jax.tree_util.tree_leaves(stacked)
+                )
+                by_key.setdefault(key, []).append(i)
+            sup = []
+            for idxs in by_key.values():
+                gstacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs, axis=0),
+                    *[groups[i][0] for i in idxs],
+                )
+                sup.append((gstacked, idxs))
+            self._dp_stacked_cache[data_fold] = sup
+            # Keep only the host-side counts; drop the per-group device
+            # arrays so one device-resident copy of the fold stays alive.
+            self._dp_group_cache[data_fold] = (
+                [(None, counts) for _, counts in groups],
+                (processed_graphs, processed_nodes, processed_edges),
+            )
+
+        group_metrics = []  # (device metrics [G, P, ...], group idx list)
+        if data_fold == DataFold.TRAIN:
+            order = np.random.permutation(len(sup))
+            for gi in order:
+                gstacked, idxs = sup[gi]
+                within = np.random.permutation(len(idxs))
+                perm = jnp.asarray(within)
+                xs = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, perm, axis=0), gstacked
+                )
+                rng = jax.random.PRNGKey(
+                    self._step_rng.randint(0, 2**31 - 1)
+                )
+                (self.model_params_tree, self.opt_state,
+                 metrics) = train_epoch_fn(
+                    self.model_params_tree, self.opt_state, rng, xs
+                )
+                group_metrics.append(
+                    (metrics, [idxs[i] for i in within])
+                )
+        else:
+            for gstacked, idxs in sup:
+                metrics = eval_epoch_fn(self.model_params_tree, gstacked)
+                group_metrics.append((metrics, idxs))
+
+        task_metric_results: List[Dict[str, Any]] = []
+        batch_graph_counts: List[int] = []
+        host_groups = jax.device_get([m for m, _ in group_metrics])
+        for (_, idxs), host_m in zip(group_metrics, host_groups):
+            for gi_in_scan, fold_group_i in enumerate(idxs):
+                counts = groups[fold_group_i][1]
+                for r in range(len(counts)):  # drop zero-weight padding
+                    task_metric_results.append({
+                        k: np.asarray(v[gi_in_scan][r])
+                        for k, v in host_m.items()
+                    })
+                    batch_graph_counts.append(counts[r])
+        epoch_loss = float(sum(
+            float(m["loss"]) * c
+            for m, c in zip(task_metric_results, batch_graph_counts)
+        ))
+        epoch_time = time.time() - start_time
+        return (
+            epoch_loss / processed_graphs,
+            task_metric_results,
+            processed_graphs,
+            processed_graphs / epoch_time,
+            processed_nodes / epoch_time,
+            processed_edges / epoch_time,
+        )
+
     def _run_epoch_graph_parallel(
         self, epoch_name: str, data, data_fold: DataFold, num_partitions: int,
         quiet: bool = False,
@@ -819,26 +960,11 @@ class SparseGraphModel(ABC):
         device_metrics: List[Dict[str, Any]] = []
         batch_graph_counts: List[int] = []
 
-        batch_iterator = ThreadedIterator(
-            self.task.make_minibatch_iterator(
-                data, data_fold, self.params["max_nodes_in_batch"]
-            ),
-            max_queue_size=5,
-        )
-        for step_i, batch in enumerate(batch_iterator):
-            processed_graphs += int(batch.num_graphs)
-            processed_nodes += int(batch.num_nodes)
-            processed_edges += int(batch.num_edges)
-            e_pad_total = bucket_size(
-                sum(e.senders.shape[0] for e in batch.graph.edges),
-                min_size=64,
-            )
-            shards, _, _ = partition_task_batch(
-                batch, num_partitions, batch.graph.n_pad, e_pad_total
-            )
-            dev_batch = self._device_batch(batch)
+        def run_entry(step_i, dev_batch, shards, num_graphs):
             if data_fold == DataFold.TRAIN:
-                rng = jax.random.PRNGKey(self._step_rng.randint(0, 2**31 - 1))
+                rng = jax.random.PRNGKey(
+                    self._step_rng.randint(0, 2**31 - 1)
+                )
                 self.model_params_tree, self.opt_state, metrics = gp_train(
                     self.model_params_tree, self.opt_state, rng,
                     dev_batch, shards,
@@ -846,10 +972,56 @@ class SparseGraphModel(ABC):
             else:
                 metrics = gp_eval(self.model_params_tree, dev_batch, shards)
             device_metrics.append(metrics)
-            batch_graph_counts.append(batch.num_graphs)
+            batch_graph_counts.append(num_graphs)
             if not quiet and step_i % 16 == 0:
                 print("Running %s, batch %i (has %i graphs)."
-                      % (epoch_name, step_i, batch.num_graphs), end="\r")
+                      % (epoch_name, step_i, num_graphs), end="\r")
+
+        # Device-resident cache of (batch, shards): host-side partitioning
+        # is NOT on the per-epoch critical path once a fold is cached
+        # (packing and partitioning both happen once per fold, like the
+        # single-device cache path).
+        cache_on = bool(self.params.get("cache_batches_on_device")) and (
+            not getattr(data, "is_streaming", False)
+        )
+        cached = self._gp_batch_cache.get(data_fold) if cache_on else None
+        if cached is not None:
+            entries, (processed_graphs, processed_nodes,
+                      processed_edges) = cached
+            order = np.arange(len(entries))
+            if data_fold == DataFold.TRAIN:
+                np.random.shuffle(order)
+            for step_i, i in enumerate(order):
+                run_entry(step_i, *entries[i])
+        else:
+            built: List[Tuple[Any, Any, int]] = []
+            batch_iterator = ThreadedIterator(
+                self.task.make_minibatch_iterator(
+                    data, data_fold, self.params["max_nodes_in_batch"]
+                ),
+                max_queue_size=5,
+            )
+            for step_i, batch in enumerate(batch_iterator):
+                processed_graphs += int(batch.num_graphs)
+                processed_nodes += int(batch.num_nodes)
+                processed_edges += int(batch.num_edges)
+                e_pad_total = bucket_size(
+                    sum(e.senders.shape[0] for e in batch.graph.edges),
+                    min_size=64,
+                )
+                shards, _, _ = partition_task_batch(
+                    batch, num_partitions, batch.graph.n_pad, e_pad_total
+                )
+                shards = jax.tree_util.tree_map(jnp.asarray, shards)
+                dev_batch = self._device_batch(batch)
+                if cache_on:
+                    built.append((dev_batch, shards, int(batch.num_graphs)))
+                run_entry(step_i, dev_batch, shards, int(batch.num_graphs))
+            if cache_on:
+                self._gp_batch_cache[data_fold] = (
+                    built,
+                    (processed_graphs, processed_nodes, processed_edges),
+                )
 
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
         host_metrics = jax.device_get(device_metrics)
