@@ -450,3 +450,111 @@ def test_gp_epoch_composes_with_device_cache():
     model._run_epoch("gp", samples, DataFold.TRAIN, quiet=True)  # epoch 5
     assert calls["n"] == n_after + 1
     task.make_minibatch_iterator = orig_iter
+
+
+def _taint_from_all_gather(jaxpr, taint=None):
+    """Walk a (possibly nested) jaxpr; return (tainted var ids, number of
+    scatter/segment-sum eqns independent of the all_gather, number
+    dependent on it)."""
+    taint = set() if taint is None else taint
+    free_scatters = dep_scatters = 0
+    for eqn in jaxpr.eqns:
+        sub = None
+        for v in ("jaxpr", "call_jaxpr"):
+            if v in eqn.params:
+                sub = eqn.params[v]
+        if sub is not None:
+            core = getattr(sub, "jaxpr", sub)
+            # map taint through: invars of eqn -> invars of sub jaxpr
+            inner_taint = {
+                id(sv) for ov, sv in zip(eqn.invars, core.invars)
+                if id(ov) in taint
+            }
+            t2, f2, d2 = _taint_from_all_gather(core, inner_taint)
+            free_scatters += f2
+            dep_scatters += d2
+            # propagate sub outvars taint to eqn outvars
+            for ov, sv in zip(eqn.outvars, core.outvars):
+                if id(sv) in t2:
+                    taint.add(id(ov))
+            continue
+        tainted_in = any(
+            id(v) in taint for v in eqn.invars
+            if not isinstance(v, jax.extend.core.Literal)
+        )
+        name = eqn.primitive.name
+        if name in ("all_gather",):
+            for v in eqn.outvars:
+                taint.add(id(v))
+            continue
+        if "scatter" in name:
+            if tainted_in:
+                dep_scatters += 1
+            else:
+                free_scatters += 1
+        if tainted_in:
+            for v in eqn.outvars:
+                taint.add(id(v))
+    return taint, free_scatters, dep_scatters
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_overlap_split_matches_and_is_schedulable():
+    """The source-ownership edge split must (a) reproduce the blocking
+    all-gather layer exactly and (b) leave the LOCAL aggregation with no
+    data dependency on the all_gather in the traced program — the
+    structural property XLA's async collectives need to overlap the ICI
+    exchange with local compute."""
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        gp_rgcn_layer_kw, partition_graph,
+    )
+
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=96, seed=9)
+    n, d = feats.shape
+    L = len(adj)
+    params = rgcn_init(jax.random.PRNGKey(2), L, d)
+
+    batch = pad_graph_batch(feats, adj, np.zeros(n, np.int32), 1, n_pad=128)
+    ref = rgcn_apply(
+        params, jax.tree_util.tree_map(jnp.asarray, batch),
+        jnp.asarray(batch.node_features),
+        activation_function="relu", aggregation_strategy="segment",
+    )[:n]
+
+    shards, n_local, n_global = partition_graph(feats, adj, P_DEV)
+    assert shards.flat_local is not None
+    mesh = make_mesh(P_DEV, axis_name="gp")
+
+    def fwd(shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        out = gp_rgcn_layer_kw({"W": params["W"]}, shard,
+                               shard.node_features + 0.0, "gp",
+                               activation_function="relu")
+        return out[None]
+
+    sharded = shard_map(fwd, mesh=mesh, in_specs=(P("gp"),),
+                        out_specs=P("gp"), check_vma=False)
+    dev_shards = jax.tree_util.tree_map(jnp.asarray, shards)
+    out = jax.jit(sharded)(dev_shards)
+    out = out.reshape(n_global, d)[:n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+
+    # Blocking variant (split stripped) must agree too:
+    blocking = jax.tree_util.tree_map(jnp.asarray, shards)._replace(
+        flat_local=None, flat_remote=None
+    )
+    out_b = jax.jit(sharded)(blocking)
+    np.testing.assert_allclose(
+        np.asarray(out_b.reshape(n_global, d)[:n]), np.asarray(ref),
+        rtol=2e-4, atol=1e-5,
+    )
+
+    # Structural independence: at least one scatter/segment-sum runs with
+    # NO data path from the all_gather (the local stream), and at least
+    # one depends on it (the remote stream).
+    jaxpr = jax.make_jaxpr(sharded)(dev_shards)
+    _, free_scatters, dep_scatters = _taint_from_all_gather(jaxpr.jaxpr)
+    assert free_scatters >= 1, "local aggregation depends on the collective"
+    assert dep_scatters >= 1

@@ -61,11 +61,22 @@ class GPFlatEdges(NamedTuple):
 
 class GPShard(NamedTuple):
     """One device's piece of the partitioned graph (leading axis = device
-    when stacked for shard_map)."""
+    when stacked for shard_map).
+
+    flat_local / flat_remote split the SAME edges by source ownership:
+    flat_local's senders are LOCAL row indices into the device's own
+    typed table (type * n_local + local_sender), so its messages and
+    aggregation are structurally INDEPENDENT of the all_gather — XLA's
+    async collectives (all-gather-start/done) can overlap the exchange
+    with the local aggregation (SURVEY.md §5 "overlapping communication
+    with local SpMM"). flat_remote carries only remote-source edges in
+    the global type-offset index space."""
 
     node_features: jnp.ndarray  # [Nl, F]
     node_mask: jnp.ndarray  # [Nl]
     flat: GPFlatEdges
+    flat_local: GPFlatEdges = None
+    flat_remote: GPFlatEdges = None
 
 
 def _partition_prologue(node_features, adjacency_lists, num_devices,
@@ -131,19 +142,22 @@ def partition_graph(
         min_size=64,
     )
 
-    flats = []
-    for p in range(num_devices):
-        lo = p * n_local
-        src = np.full((e_pad,), L * n_global, np.int32)
-        tgt = np.full((e_pad,), L * n_global, np.int32)
-        rcv = np.full((e_pad,), n_local, np.int32)
-        msk = np.zeros((e_pad,), np.float32)
-        nrm = np.zeros((e_pad,), np.float32)
+    def build_flat(edge_tuples, lo, src_offset, table_rows, e_pad_f):
+        """Receiver-sorted GPFlatEdges from (type, adj) tuples; senders
+        and targets are indexed as type * table_rows + (node - src_offset)
+        (src_offset = lo for device-local table space, 0 for global)."""
+        src = np.full((e_pad_f,), L * table_rows, np.int32)
+        tgt = np.full((e_pad_f,), L * table_rows, np.int32)
+        rcv = np.full((e_pad_f,), n_local, np.int32)
+        msk = np.zeros((e_pad_f,), np.float32)
+        nrm = np.zeros((e_pad_f,), np.float32)
         off = 0
-        for l, adj in per_dev_edges[p]:
+        for l, adj in edge_tuples:
             k = adj.shape[0]
-            src[off : off + k] = l * n_global + adj[:, 0]
-            tgt[off : off + k] = l * n_global + adj[:, 1]
+            if not k:
+                continue
+            src[off : off + k] = l * table_rows + (adj[:, 0] - src_offset)
+            tgt[off : off + k] = l * table_rows + (adj[:, 1] - src_offset)
             rcv[off : off + k] = adj[:, 1] - lo
             msk[off : off + k] = 1.0
             nrm[off : off + k] = 1.0 / (
@@ -154,7 +168,7 @@ def partition_graph(
         src, tgt, rcv, msk, nrm = (
             src[order], tgt[order], rcv[order], msk[order], nrm[order]
         )
-        flats.append(GPFlatEdges(
+        return GPFlatEdges(
             src_flat=src,
             receivers=rcv,
             tgt_flat=tgt,
@@ -162,12 +176,27 @@ def partition_graph(
             norm_scale=nrm,
             perm_by_src=np.argsort(src, kind="stable").astype(np.int32),
             perm_by_tgt=np.argsort(tgt, kind="stable").astype(np.int32),
-        ))
+        )
 
-    shards = [
-        GPShard(node_features=feats[p], node_mask=masks[p], flat=flats[p])
-        for p in range(num_devices)
-    ]
+    shards = []
+    for p in range(num_devices):
+        lo = p * n_local
+        flat = build_flat(per_dev_edges[p], lo, 0, n_global, e_pad)
+        # Source-ownership split for communication/compute overlap: the
+        # local stream indexes the device's OWN typed table.
+        loc_tuples, rem_tuples = [], []
+        for l, adj in per_dev_edges[p]:
+            is_local = (adj[:, 0] >= lo) & (adj[:, 0] < lo + n_local)
+            if is_local.any():
+                loc_tuples.append((l, adj[is_local]))
+            if (~is_local).any():
+                rem_tuples.append((l, adj[~is_local]))
+        flat_local = build_flat(loc_tuples, lo, lo, n_local, e_pad)
+        flat_remote = build_flat(rem_tuples, lo, 0, n_global, e_pad)
+        shards.append(GPShard(
+            node_features=feats[p], node_mask=masks[p], flat=flat,
+            flat_local=flat_local, flat_remote=flat_remote,
+        ))
     stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shards)
     return stacked, n_local, n_global
 
@@ -509,12 +538,54 @@ def gp_ggnn_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
                              preferred_element_type=jnp.float32)
         t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
         L, n_global, D = t_full.shape
-        msgs = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
-        agg = aggregate_flat(msgs, shard.flat, n_local,
-                             message_aggregation_function)
+        if _overlap_split_ok(shard):
+            fl, fr = shard.flat_local, shard.flat_remote
+            msgs_loc = gather_flat_src(t_local.reshape(L * n_local, D), fl)
+            msgs_rem = gather_flat_src(t_full.reshape(L * n_global, D), fr)
+            agg = _aggregate_split(msgs_loc, fl, msgs_rem, fr, n_local,
+                                   message_aggregation_function)
+        else:
+            msgs = gather_flat_src(t_full.reshape(L * n_global, D),
+                                   shard.flat)
+            agg = aggregate_flat(msgs, shard.flat, n_local,
+                                 message_aggregation_function)
         h_local, c = cell_apply(gnn_params["cell"], gated_unit_type, agg,
                                 h_local, activation_function, c)
     return h_local
+
+
+def _overlap_split_ok(shard: GPShard) -> bool:
+    return (getattr(shard, "flat_local", None) is not None
+            and getattr(shard, "flat_remote", None) is not None)
+
+
+def _aggregate_split(msgs_loc, flat_loc, msgs_rem, flat_rem, n_local,
+                     aggregation: str):
+    """Combine aggregations over the local-source and remote-source edge
+    streams into one per-receiver result (each stream holds a disjoint
+    subset of the device's incoming edges)."""
+    if aggregation in ("sum", "unsorted_segment_sum"):
+        return (aggregate_flat(msgs_loc, flat_loc, n_local, "sum")
+                + aggregate_flat(msgs_rem, flat_rem, n_local, "sum"))
+    if aggregation in ("mean", "unsorted_segment_mean",
+                       "sqrt_n", "unsorted_segment_sqrt_n"):
+        total = (aggregate_flat(msgs_loc, flat_loc, n_local, "sum")
+                 + aggregate_flat(msgs_rem, flat_rem, n_local, "sum"))
+        count = (
+            jax.ops.segment_sum(flat_loc.mask, flat_loc.receivers,
+                                n_local + 1, indices_are_sorted=True)
+            + jax.ops.segment_sum(flat_rem.mask, flat_rem.receivers,
+                                  n_local + 1, indices_are_sorted=True)
+        )[:n_local]
+        count = jnp.maximum(count, 1.0)
+        if aggregation.endswith("sqrt_n"):
+            count = jnp.sqrt(count)
+        return total / count[:, None]
+    # max: empty partial segments land at dtype min on both sides.
+    return jnp.maximum(
+        aggregate_flat(msgs_loc, flat_loc, n_local, aggregation),
+        aggregate_flat(msgs_rem, flat_rem, n_local, aggregation),
+    )
 
 
 def gp_rgcn_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
@@ -523,7 +594,13 @@ def gp_rgcn_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
                      normalize_by_num_incoming=True,
                      use_both_source_and_target=False, **_):
     """RGCN over the partition with the full layer-kwarg surface
-    (reference: gnns/rgcn.py:8-115)."""
+    (reference: gnns/rgcn.py:8-115).
+
+    When the shard carries the source-ownership edge split, messages from
+    LOCALLY-owned senders are gathered from the device's own typed table
+    and aggregated with no data dependency on the all_gather — XLA's
+    async collective (all-gather-start/done) overlaps the ICI exchange
+    with the local aggregation; only the remote-source edges wait."""
     from ..nn.activations import get_activation
     from ..ops.edge_ops import gather_flat_tgt
 
@@ -544,12 +621,32 @@ def gp_rgcn_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
                 gather_flat_src(src_full.reshape(L * n_global, D), shard.flat)
                 + gather_flat_tgt(tgt_full.reshape(L * n_global, D), shard.flat)
             )
-        else:
-            t_local = jnp.einsum("nd,lde->lne", h_local, W,
-                                 preferred_element_type=jnp.float32)
-            t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
-            L, n_global, D = t_full.shape
-            msgs = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
+            if normalize_by_num_incoming:
+                msgs = msgs * shard.flat.norm_scale[:, None]
+            h_local = act(aggregate_flat(msgs, shard.flat, n_local,
+                                         message_aggregation_function))
+            continue
+        t_local = jnp.einsum("nd,lde->lne", h_local, W,
+                             preferred_element_type=jnp.float32)
+        t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
+        L, n_global, D = t_full.shape
+        if _overlap_split_ok(shard):
+            fl, fr = shard.flat_local, shard.flat_remote
+            msgs_loc = gather_flat_src(
+                t_local.reshape(L * n_local, D), fl
+            )
+            msgs_rem = gather_flat_src(
+                t_full.reshape(L * n_global, D), fr
+            )
+            if normalize_by_num_incoming:
+                msgs_loc = msgs_loc * fl.norm_scale[:, None]
+                msgs_rem = msgs_rem * fr.norm_scale[:, None]
+            h_local = act(_aggregate_split(
+                msgs_loc, fl, msgs_rem, fr, n_local,
+                message_aggregation_function,
+            ))
+            continue
+        msgs = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
         if normalize_by_num_incoming:
             msgs = msgs * shard.flat.norm_scale[:, None]
         h_local = act(aggregate_flat(msgs, shard.flat, n_local,
@@ -602,7 +699,14 @@ def gp_film_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
                      *, num_timesteps=1, activation_function="relu",
                      message_aggregation_function="sum",
                      normalize_by_num_incoming=False, **_):
-    """GNN-FiLM over the partition with the full kwarg surface."""
+    """GNN-FiLM over the partition with the full kwarg surface.
+
+    With the source-ownership split, the local-source half of the layer
+    (messages, gamma/beta modulation — the TARGET is always local — and
+    aggregation) has no data dependency on the all_gather, so XLA
+    overlaps the ICI exchange with it. Only the FiLM table of the
+    TRANSFORM needs gathering for remote edges; gamma/beta always come
+    from the local film table."""
     from ..nn.activations import get_activation
     from ..nn.normalization import layer_norm
     from ..ops.edge_ops import gather_flat_tgt
@@ -610,14 +714,40 @@ def gp_film_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
     act = get_activation(activation_function)
     n_local = h_local.shape[0]
     d = h_local.shape[-1]
+    sum_agg = message_aggregation_function in ("sum", "unsorted_segment_sum")
     for _ in range(num_timesteps):
         t_local = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
                              preferred_element_type=jnp.float32)
         f_local = jnp.einsum("nd,lde->lne", h_local, gnn_params["W_film"],
                              preferred_element_type=jnp.float32)
         t_full = jax.lax.all_gather(t_local, axis_name, axis=1, tiled=True)
-        f_full = jax.lax.all_gather(f_local, axis_name, axis=1, tiled=True)
         L, n_global, D = t_full.shape
+        if _overlap_split_ok(shard):
+            fl, fr = shard.flat_local, shard.flat_remote
+            f_loc_table = f_local.reshape(L * n_local, 2 * d)
+            # The remote stream's tgt indices are in GLOBAL table space,
+            # but its TARGETS are local rows; re-express them in the local
+            # film table's space (the by-tgt sort order is preserved —
+            # (type, receiver) ordering is identical in both spaces).
+            et_rem = jnp.minimum(fr.src_flat // n_global, L)
+            fr_local_tgt = fr._replace(
+                tgt_flat=et_rem * n_local
+                + jnp.minimum(fr.receivers, n_local)
+            )
+            msgs_loc = gather_flat_src(t_local.reshape(L * n_local, D), fl)
+            msgs_rem = gather_flat_src(t_full.reshape(L * n_global, D), fr)
+            if normalize_by_num_incoming:
+                msgs_loc = msgs_loc * fl.norm_scale[:, None]
+                msgs_rem = msgs_rem * fr.norm_scale[:, None]
+            gb_loc = gather_flat_tgt(f_loc_table, fl)
+            gb_rem = gather_flat_tgt(f_loc_table, fr_local_tgt)
+            msgs_loc = act(gb_loc[:, :d] * msgs_loc + gb_loc[:, d:])
+            msgs_rem = act(gb_rem[:, :d] * msgs_rem + gb_rem[:, d:])
+            agg = _aggregate_split(msgs_loc, fl, msgs_rem, fr, n_local,
+                                   message_aggregation_function)
+            h_local = layer_norm(gnn_params["ln"], agg)
+            continue
+        f_full = jax.lax.all_gather(f_local, axis_name, axis=1, tiled=True)
         m = gather_flat_src(t_full.reshape(L * n_global, D), shard.flat)
         if normalize_by_num_incoming:
             m = m * shard.flat.norm_scale[:, None]
@@ -922,7 +1052,8 @@ def partition_task_batch(batch, num_partitions: int, n_pad_target: int,
         feats_padded, adj, num_partitions, typed_incoming_counts=counts
     )
     assert nl == n_local, (nl, n_local)
-    # Enforce the fold-static edge pad (re-pad each device's stream):
+    # Enforce the fold-static edge pad (re-pad each device's streams —
+    # the merged one and the local/remote overlap split):
     cur_epad = stacked.flat.src_flat.shape[1]
     if cur_epad < e_pad_total:
         pad = e_pad_total - cur_epad
@@ -933,20 +1064,30 @@ def partition_task_batch(batch, num_partitions: int, n_pad_target: int,
                 [x, np.full((num_partitions, pad), fill, x.dtype)], axis=1
             )
 
-        flat = stacked.flat
-        src = pad_edges(flat.src_flat, L * n_global)
-        tgt = pad_edges(flat.tgt_flat, L * n_global)
-        rcv = pad_edges(flat.receivers, nl)
-        msk = pad_edges(flat.mask, 0.0)
-        nrm = pad_edges(flat.norm_scale, 0.0)
-        perm_src = np.stack([np.argsort(src[p], kind="stable")
-                             for p in range(num_partitions)]).astype(np.int32)
-        perm_tgt = np.stack([np.argsort(tgt[p], kind="stable")
-                             for p in range(num_partitions)]).astype(np.int32)
-        stacked = stacked._replace(flat=GPFlatEdges(
-            src_flat=src, tgt_flat=tgt, receivers=rcv, mask=msk,
-            norm_scale=nrm, perm_by_src=perm_src, perm_by_tgt=perm_tgt,
-        ))
+        def repad_flat(flat: GPFlatEdges, table_rows: int) -> GPFlatEdges:
+            src = pad_edges(flat.src_flat, L * table_rows)
+            tgt = pad_edges(flat.tgt_flat, L * table_rows)
+            rcv = pad_edges(flat.receivers, nl)
+            msk = pad_edges(flat.mask, 0.0)
+            nrm = pad_edges(flat.norm_scale, 0.0)
+            perm_src = np.stack(
+                [np.argsort(src[p], kind="stable")
+                 for p in range(num_partitions)]
+            ).astype(np.int32)
+            perm_tgt = np.stack(
+                [np.argsort(tgt[p], kind="stable")
+                 for p in range(num_partitions)]
+            ).astype(np.int32)
+            return GPFlatEdges(
+                src_flat=src, tgt_flat=tgt, receivers=rcv, mask=msk,
+                norm_scale=nrm, perm_by_src=perm_src, perm_by_tgt=perm_tgt,
+            )
+
+        stacked = stacked._replace(
+            flat=repad_flat(stacked.flat, n_global),
+            flat_local=repad_flat(stacked.flat_local, nl),
+            flat_remote=repad_flat(stacked.flat_remote, n_global),
+        )
     return stacked, n_local, n_global
 
 
