@@ -183,6 +183,7 @@ class SparseGraphModel(ABC):
         self._jitted_eval_step = None
         self._jitted_epoch_fns = None
         self._dp_steps = None
+        self._dp_mesh = None
         self._gp_steps = None
         self._batch_cache: Dict[Any, List[TaskBatch]] = {}
         self._stacked_cache: Dict[Any, TaskBatch] = {}
@@ -701,11 +702,26 @@ class SparseGraphModel(ABC):
 
         if self._dp_steps is None:
             mesh = make_mesh(replicas)
+            self._dp_mesh = mesh
             self._dp_steps = (
                 make_dp_train_step(self, mesh),
                 make_dp_eval_step(self, mesh),
             )
         dp_train, dp_eval = self._dp_steps
+
+        # Multi-host: replicas span every process's devices. Each process
+        # runs this SAME loop on the SAME (deterministically packed) fold
+        # and feeds only its slice of each replica group
+        # (parallel/multihost.py); per-batch metrics come back via one
+        # process_allgather per group.
+        nproc = jax.process_count()
+        proc_id = jax.process_index()
+        if nproc > 1 and replicas % nproc != 0:
+            raise ValueError(
+                "num_model_replicas=%d must be a multiple of the process "
+                "count %d" % (replicas, nproc)
+            )
+        local_rep = replicas // max(nproc, 1)
 
         start_time = time.time()
         processed_graphs = processed_nodes = processed_edges = 0
@@ -726,7 +742,8 @@ class SparseGraphModel(ABC):
             device_metric_groups.append((metrics, counts))
 
         cached = self._dp_group_cache.get(data_fold) if cache_on else None
-        if cached is not None and self.params.get("scan_epochs", False):
+        if (cached is not None and nproc == 1
+                and self.params.get("scan_epochs", False)):
             # One-dispatch epochs over the cached replica groups:
             # lax.scan of the shard_map'd DP step per shape group.
             return self._run_epoch_dp_scanned(data_fold, cached, replicas,
@@ -753,12 +770,25 @@ class SparseGraphModel(ABC):
                 while len(group) < replicas:
                     group.append(self._empty_like_batch(group[-1]))
                 group = unify_win_tokens(group)
-                stacked = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(
-                        [jnp.asarray(x) for x in xs], axis=0
-                    ),
-                    *group,
-                )
+                if nproc > 1:
+                    from ..parallel.multihost import global_dp_batch
+
+                    mine = group[proc_id * local_rep:
+                                 (proc_id + 1) * local_rep]
+                    stacked_local = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(
+                            [np.asarray(x) for x in xs], axis=0
+                        ),
+                        *mine,
+                    )
+                    stacked = global_dp_batch(stacked_local, self._dp_mesh)
+                else:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(
+                            [jnp.asarray(x) for x in xs], axis=0
+                        ),
+                        *group,
+                    )
                 if cache_on:
                     built.append((stacked, counts))
                 run_group_stacked(stacked, counts)
@@ -773,7 +803,10 @@ class SparseGraphModel(ABC):
                 processed_edges += int(batch.num_edges)
                 key = batch_shape_key(batch)
                 group = pending.setdefault(key, [])
-                group.append(self._device_batch(batch))
+                # Multi-host: keep batches host-side; only this process's
+                # slice of each group reaches its devices.
+                group.append(batch if nproc > 1 else
+                             self._device_batch(batch))
                 if len(group) == replicas:
                     run_group(group)
                     pending[key] = []
@@ -789,7 +822,28 @@ class SparseGraphModel(ABC):
         assert processed_graphs > 0, "Can't run epoch over empty dataset."
         task_metric_results: List[Dict[str, Any]] = []
         batch_graph_counts: List[int] = []
-        host_groups = jax.device_get([m for m, _ in device_metric_groups])
+        if nproc > 1:
+            # Metrics are sharded over the dp axis: gather every process's
+            # addressable rows so ALL hosts aggregate/log the full fold's
+            # per-batch metric list identically.
+            from jax.experimental import multihost_utils
+
+            host_groups = []
+            for metrics, _counts in device_metric_groups:
+                host_m = {}
+                for k, v in metrics.items():
+                    shards = sorted(
+                        v.addressable_shards,
+                        key=lambda s: s.index[0].start or 0,
+                    )
+                    local = np.concatenate(
+                        [np.asarray(s.data) for s in shards], axis=0
+                    )
+                    full = multihost_utils.process_allgather(local)
+                    host_m[k] = full.reshape((-1,) + full.shape[2:])
+                host_groups.append(host_m)
+        else:
+            host_groups = jax.device_get([m for m, _ in device_metric_groups])
         for (metrics, counts), host_m in zip(device_metric_groups, host_groups):
             for i in range(len(counts)):  # drop zero-weight padding replicas
                 task_metric_results.append(

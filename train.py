@@ -56,11 +56,29 @@ def get_train_args(argv=None):
                         help="dpu_utils-style auth JSON for azure:// data "
                              "paths (downloaded to a local cache up front; "
                              "needs the azure-storage-blob package).")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="Multi-host training: jax.distributed "
+                             "coordinator address (process 0's). All hosts "
+                             "run the same command with their own "
+                             "--host-id; see parallel/multihost.py.")
+    parser.add_argument("--num-hosts", type=int, default=None,
+                        help="Multi-host training: total process count.")
+    parser.add_argument("--host-id", type=int, default=None,
+                        help="Multi-host training: this process's id.")
     parser.add_argument("--debug", action="store_true")
     return parser.parse_args(argv)
 
 
 def run(args):
+    if args.coordinator or args.num_hosts or os.environ.get(
+            "GRAFT_COORDINATOR"):
+        # Must run before any JAX backend use; afterwards jax.devices()
+        # is GLOBAL across hosts (DP axis over DCN, GP within a host over
+        # ICI — parallel/multihost.make_hybrid_mesh).
+        from tf_gnn_samples_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator, args.num_hosts, args.host_id)
+
     model_cls, additional_model_params = name_to_model_class(args.MODEL_NAME)
     task_cls, additional_task_params = name_to_task_class(args.TASK_NAME)
 
