@@ -976,17 +976,35 @@ def gnn_edge_mlp_apply(
             else:
                 gamma = jnp.ones_like(beta)
             gb_ranked = jnp.concatenate([gamma, beta], axis=1)
-            m = gather_flat_src(
-                _flat(ts).astype(jnp.bfloat16), graph.flat
-            )
-            win = token_window(graph.flat.win_fine)
-            splits = rs.film_column_splits(
-                m.shape[0], d0, gb_ranked.shape[0]
-            )
-            table = _film_aggregate_splits(
-                m, gb_ranked, graph, activation_function.lower(), win,
-                splits,
-            )
+            flat_g = graph.flat
+            win = token_window(flat_g.win_fine)
+            e_tot = flat_g.src_flat.shape[0]
+            act_name0 = activation_function.lower()
+            splits = rs.film_column_splits(e_tot, d0, gb_ranked.shape[0])
+            ts16 = _flat(ts).astype(jnp.bfloat16)
+            # The 1/c normalization is folded into gamma/beta PER FINE
+            # GROUP above, so (unlike GNN-FiLM's per-edge norm) the
+            # source-gather-fused pass applies even when normalizing:
+            # backward recomputes the src-order cotangent from small
+            # tables instead of permuting the [E, D] stream.
+            if (splits == 1
+                    and getattr(flat_g, "fine_rank_by_src", None) is not None
+                    and getattr(flat_g, "src_from_rank", None) is not None
+                    and rs.film_fused_src_supported(
+                        act_name0, e_tot, d0, gb_ranked.shape[0],
+                        flat_g.src_from_rank.shape[0])):
+                table = rs.film_fused_src_pass(
+                    ts16, gb_ranked, flat_g.src_flat,
+                    flat_g.fine_rank_by_src, flat_g.src_sorted_rank,
+                    flat_g.src_to_rank, flat_g.src_from_rank,
+                    flat_g.tgt_rank, act_name0, 256,
+                    win, token_window(flat_g.win_src),
+                )
+            else:
+                m = gather_flat_src(ts16, graph.flat)
+                table = _film_aggregate_splits(
+                    m, gb_ranked, graph, act_name0, win, splits
+                )
             agg = fine_table_to_nodes(table, graph)
         elif ranked:
             t = _node_table_mlp(h, params["edge_mlp"], elu)
