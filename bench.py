@@ -55,6 +55,134 @@ def make_synthetic_ppi(data_dir: str, seed: int = 0):
 
 V100_EDGES_PER_SEC = 1952084.0  # reference RGCN train epoch (README.md:34)
 
+
+def make_synthetic_varmisuse(data_dir: str, seed: int = 0,
+                             n_train: int = 150, n_valid: int = 20):
+    """Synthetic VarMisuse-shaped dataset in the RAW on-disk format
+    (ICLR'18 program graphs): ~2k-node graphs, the 11 named edge types at
+    realistic densities (forward/backward doubling, subtoken vocabulary
+    nodes and self-loops are added by the real parser), camelCase
+    identifier labels for the char CNN, slot + candidate structure.
+    Written as chunked .jsonl.gz shards so the STREAMING loader path is
+    exercised end to end."""
+    import gzip
+
+    rng = np.random.RandomState(seed)
+    words = ["foo", "bar", "count", "index", "value", "item", "node",
+             "temp", "result", "buffer", "state", "data", "ptr", "size"]
+
+    def make_sample():
+        n = int(rng.randint(1600, 2600))
+        labels = {}
+        for i in range(n):
+            r = rng.rand()
+            if r < 0.45:  # identifier: 2-part camelCase
+                a, b = rng.choice(words, 2)
+                labels[str(i)] = a + b.capitalize() + str(rng.randint(10))
+            elif r < 0.7:
+                labels[str(i)] = rng.choice(words)
+            else:  # syntax token
+                labels[str(i)] = rng.choice(["(", ")", "{", "}", "=", ";"])
+        edges = {}
+        densities = {
+            "Child": 1.0, "NextToken": 0.6, "LastUse": 0.25,
+            "LastWrite": 0.2, "LastLexicalUse": 0.15, "ComputedFrom": 0.1,
+            "GuardedByNegation": 0.05, "GuardedBy": 0.05,
+            "FormalArgName": 0.05, "ReturnsTo": 0.03,
+        }
+        for name, dens in densities.items():
+            e = max(int(n * dens), 1)
+            if name == "Child":  # tree-ish
+                dst = np.arange(1, n)
+                src = (rng.rand(n - 1) * np.arange(1, n)).astype(np.int64)
+                pairs = np.stack([src, dst], axis=1)
+            else:
+                pairs = rng.randint(0, n, size=(e, 2))
+            edges[name] = [[int(a), int(b)] for a, b in pairs]
+        slot = int(rng.randint(0, n))
+        cand_ids = rng.choice(n, size=5, replace=False)
+        cands = [{"SymbolDummyNode": int(c), "IsCorrect": i == 0}
+                 for i, c in enumerate(cand_ids)]
+        return {
+            "ContextGraph": {"NodeLabels": labels, "Edges": edges},
+            "SlotDummyNode": slot,
+            "SymbolCandidates": cands,
+        }
+
+    for fold, count in (("train", n_train), ("valid", n_valid),
+                        ("test", n_valid)):
+        fold_dir = os.path.join(data_dir, "graphs-%s" % fold)
+        os.makedirs(fold_dir, exist_ok=True)
+        per_chunk = 50
+        for c in range(0, count, per_chunk):
+            path = os.path.join(fold_dir, "chunk_%04d.jsonl.gz" % c)
+            with gzip.open(path, "wt", encoding="utf-8") as f:
+                for _ in range(min(per_chunk, count - c)):
+                    f.write(json.dumps(make_sample()) + "\n")
+
+
+def bench_varmisuse_family(model_name: str, data_dir: str,
+                           n_epochs: int = 3):
+    """Steady-state VarMisuse train-epoch edges/sec for one family under
+    its tuned VarMisuse hypers, with the STREAMING loader (the at-scale
+    configuration: 22-23 edge types, 60k-node batches, char-CNN input).
+    Returns (edges_per_sec, compile_epoch_seconds)."""
+    import time
+
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+    from tf_gnn_samples_tpu.tasks.varmisuse import VarMisuse_Task
+    from tf_gnn_samples_tpu.utils.registry import name_to_model_class
+
+    hypers_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tf_gnn_samples_tpu", "default_hypers",
+        "VarMisuse_%s.json" % ("GNN-Edge-MLP%s" % model_name[-1]
+                               if model_name.startswith("GNN-Edge-MLP")
+                               else model_name),
+    )
+    tuned = {}
+    if os.path.exists(hypers_path):
+        with open(hypers_path) as f:
+            tuned = json.load(f)
+
+    task_params = VarMisuse_Task.default_params()
+    task_params.update(tuned.get("task_params", {}))
+    task_params["streaming_train_data"] = True
+    task = VarMisuse_Task(task_params)
+    task.load_data(data_dir)
+
+    model_cls, extra = name_to_model_class(model_name)
+    params = model_cls.default_params()
+    params.update(tuned.get("model_params", {}))
+    params.update(extra)
+    params.update({"random_seed": 0})
+    model = model_cls(params, task, "vm_bench",
+                      tempfile.mkdtemp(prefix="vm_bench_run_"))
+
+    t0 = time.time()
+    model._run_epoch("vm warmup", task._loaded_data[DataFold.TRAIN],
+                     DataFold.TRAIN, quiet=True)
+    compile_s = time.time() - t0
+    rates = []
+    for _ in range(n_epochs):
+        _, _, _, _, _, eps = model._run_epoch(
+            "vm bench", task._loaded_data[DataFold.TRAIN], DataFold.TRAIN,
+            quiet=True)
+        rates.append(eps)
+    return float(np.median(rates)), compile_s
+
+
+def run_varmisuse_families(names):
+    data_dir = tempfile.mkdtemp(prefix="vm_bench_")
+    make_synthetic_varmisuse(data_dir)
+    results = {}
+    for name in names:
+        eps, compile_s = bench_varmisuse_family(name, data_dir)
+        results[name] = (eps, compile_s)
+        print("%-14s %12.0f edges/s   first-epoch (compile) %6.1f s"
+              % (name, eps, compile_s), flush=True)
+    return results
+
 # Families for --families mode, with the tuned-hypers file each one trains
 # under (the reference's own benchmark protocol, run_ppi_benchs.py).
 # RGDCN has no tuned PPI hypers upstream; RGCN's budget is reused.
@@ -148,6 +276,12 @@ def main():
         which = (sys.argv[2].split(",") if len(sys.argv) > 2
                  else list(FAMILY_HYPERS))
         run_families(which)
+        return 0
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--varmisuse":
+        which = (sys.argv[2].split(",") if len(sys.argv) > 2
+                 else list(FAMILY_HYPERS))
+        run_varmisuse_families(which)
         return 0
 
     data_dir = tempfile.mkdtemp(prefix="ppi_bench_")
