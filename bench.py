@@ -121,13 +121,24 @@ def make_synthetic_varmisuse(data_dir: str, seed: int = 0,
                     f.write(json.dumps(make_sample()) + "\n")
 
 
-def bench_varmisuse_family(model_name: str, data_dir: str,
-                           n_epochs: int = 3):
-    """Steady-state VarMisuse train-epoch edges/sec for one family under
-    its tuned VarMisuse hypers, with the STREAMING loader (the at-scale
-    configuration: 22-23 edge types, 60k-node batches, char-CNN input).
-    Returns (edges_per_sec, compile_epoch_seconds)."""
+def bench_varmisuse_family(model_name: str, data_dir: str):
+    """VarMisuse-at-scale measurements for one family under its tuned
+    VarMisuse hypers (22-23 edge types, ~60k-node batches, char-CNN
+    input, STREAMING loader). Returns a dict with:
+
+    * step_eps: real edges/sec of the jitted train step on a
+      device-resident batch (the chip's compute capability at VarMisuse
+      shape — catches 22-type compile/throughput regressions);
+    * epoch_eps: one full streaming-loader epoch end to end (parse +
+      pack + pad + per-batch upload + steps). NOTE: on this harness the
+      TPU sits behind a network relay that uploads at ~12 MB/s, so
+      per-batch upload (~80 MB) dominates this number; on
+      direct-attached hardware (PCIe) the upload is ~1000x faster.
+    * compile_s: first-step compile wall time (the 22-type XLA graph).
+    """
     import time
+
+    import jax
 
     from tf_gnn_samples_tpu.tasks.base import DataFold
     from tf_gnn_samples_tpu.tasks.varmisuse import VarMisuse_Task
@@ -159,17 +170,37 @@ def bench_varmisuse_family(model_name: str, data_dir: str,
     model = model_cls(params, task, "vm_bench",
                       tempfile.mkdtemp(prefix="vm_bench_run_"))
 
+    data = task._loaded_data[DataFold.TRAIN]
+    batches = list(task.make_minibatch_iterator(
+        data, DataFold.TRAIN, model.params["max_nodes_in_batch"]
+    ))
+    if model._jitted_train_step is None:
+        model._jitted_train_step = model._make_train_step()
+        model._jitted_eval_step = model._make_eval_step()
+    b0 = model._device_batch(batches[0])
+    rng = jax.random.PRNGKey(0)
+    p, o = model.model_params_tree, model.opt_state
     t0 = time.time()
-    model._run_epoch("vm warmup", task._loaded_data[DataFold.TRAIN],
-                     DataFold.TRAIN, quiet=True)
+    p, o, m = model._jitted_train_step(p, o, rng, b0)
+    float(np.asarray(m["loss"]))
     compile_s = time.time() - t0
-    rates = []
-    for _ in range(n_epochs):
-        _, _, _, _, _, eps = model._run_epoch(
-            "vm bench", task._loaded_data[DataFold.TRAIN], DataFold.TRAIN,
-            quiet=True)
-        rates.append(eps)
-    return float(np.median(rates)), compile_s
+
+    reps = 6
+    t0 = time.time()
+    for _ in range(reps):
+        p, o, m = model._jitted_train_step(p, o, rng, b0)
+    float(np.asarray(m["loss"]))
+    step_s = (time.time() - t0) / reps
+    step_eps = int(batches[0].num_edges) / step_s
+
+    # The jitted step donates params/opt state — hand the latest buffers
+    # back to the model before the epoch driver uses them.
+    model.model_params_tree, model.opt_state = p, o
+    _, _, _, _, _, epoch_eps = model._run_epoch(
+        "vm bench", data, DataFold.TRAIN, quiet=True
+    )
+    return {"step_eps": step_eps, "epoch_eps": epoch_eps,
+            "compile_s": compile_s, "step_ms": step_s * 1e3}
 
 
 def run_varmisuse_families(names):
@@ -177,10 +208,12 @@ def run_varmisuse_families(names):
     make_synthetic_varmisuse(data_dir)
     results = {}
     for name in names:
-        eps, compile_s = bench_varmisuse_family(name, data_dir)
-        results[name] = (eps, compile_s)
-        print("%-14s %12.0f edges/s   first-epoch (compile) %6.1f s"
-              % (name, eps, compile_s), flush=True)
+        r = bench_varmisuse_family(name, data_dir)
+        results[name] = r
+        print("%-14s step %7.0f ms -> %9.0f edges/s | streaming epoch "
+              "%9.0f edges/s | compile %5.1f s"
+              % (name, r["step_ms"], r["step_eps"], r["epoch_eps"],
+                 r["compile_s"]), flush=True)
     return results
 
 # Families for --families mode, with the tuned-hypers file each one trains
