@@ -166,7 +166,11 @@ def bench_varmisuse_family(model_name: str, data_dir: str):
     params = model_cls.default_params()
     params.update(tuned.get("model_params", {}))
     params.update(extra)
-    params.update({"random_seed": 0})
+    # remat_layers: at VarMisuse scale (up to 100k-node batches, 22-23
+    # types, 6-10 layers) the un-rematerialized backward's per-edge
+    # activation residuals exceed the 16 GB chip; layer recompute is the
+    # intended configuration (numerics identical).
+    params.update({"random_seed": 0, "remat_layers": True})
     model = model_cls(params, task, "vm_bench",
                       tempfile.mkdtemp(prefix="vm_bench_run_"))
 

@@ -146,3 +146,49 @@ def test_qm9_head_matches_numpy():
     exp_abs = np.sum(np.abs(err))
     np.testing.assert_allclose(float(loss), exp_loss, rtol=1e-4)
     np.testing.assert_allclose(float(metrics["abs_err_task0"]), exp_abs, rtol=1e-4)
+
+
+def test_remat_layers_matches_unrematerialized():
+    """remat_layers=True (jax.checkpoint per GNN layer) must be a pure
+    memory/compute trade: identical outputs AND gradients."""
+    import numpy as np
+    from tf_gnn_samples_tpu.nn.propagation import (propagation_apply,
+                                                   propagation_init)
+
+    rng = np.random.RandomState(3)
+    n = 40
+    adj = [rng.randint(0, n, size=(120, 2)).astype(np.int32)
+           for _ in range(2)]
+    feats = rng.randn(n, 12).astype(np.float32)
+    batch = pad_graph_batch(feats, adj, np.zeros(n, np.int32), 1, n_pad=64)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    mp = {
+        "hidden_size": 16, "graph_num_layers": 3,
+        "graph_num_timesteps_per_layer": 1,
+        "graph_layer_input_dropout_keep_prob": 1.0,
+        "graph_dense_between_every_num_gnn_layers": 1,
+        "graph_model_activation_function": "relu",
+        "graph_residual_connection_every_num_layers": 2,
+        "graph_inter_layer_norm": True,
+    }
+    params = propagation_init(jax.random.PRNGKey(0), mp, 2, 12,
+                              "gnn_film", {})
+
+    def loss(p, remat):
+        mpx = dict(mp, remat_layers=remat)
+        out = propagation_apply(p, mpx, batch,
+                                jnp.asarray(batch.node_features), "gnn_film",
+                                {})
+        return jnp.sum(out * batch.node_mask[:, None]) ** 2 / 100.0
+
+    o0 = loss(params, False)
+    o1 = loss(params, True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-6, atol=1e-6)
+    g0 = jax.grad(loss)(params, False)
+    g1 = jax.grad(loss)(params, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

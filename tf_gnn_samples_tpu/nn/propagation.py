@@ -74,6 +74,20 @@ def propagation_apply(
     if "proj" in params:
         h = act(jnp.dot(h, params["proj"], preferred_element_type=jnp.float32))
 
+    def gnn_layer(gnn_params, g, hh):
+        return layer_apply(
+            gnn_params, g, hh, num_timesteps=timesteps, **layer_kwargs
+        )
+
+    if model_params.get("remat_layers"):
+        # Rematerialize each GNN layer on the backward pass instead of
+        # keeping its activations: memory per layer drops from O(E * D)
+        # residual streams to the layer boundary [N, D] states, at the
+        # cost of recomputing the forward once. What makes deep many-type
+        # configs (VarMisuse: 6-10 layers, 22 types, 100k-node batches)
+        # fit HBM. Numerics are identical (same math, recomputed).
+        gnn_layer = jax.checkpoint(gnn_layer)
+
     last_residual = jnp.zeros_like(h)
     for i, layer_params in enumerate(params["layers"]):
         if rng is not None:
@@ -84,9 +98,7 @@ def propagation_apply(
             if i > 0:
                 h = (h + last_residual) / 2.0
             last_residual = t
-        h = layer_apply(
-            layer_params["gnn"], graph, h, num_timesteps=timesteps, **layer_kwargs
-        )
+        h = gnn_layer(layer_params["gnn"], graph, h)
         if "ln" in layer_params:
             h = layer_norm(layer_params["ln"], h)
         if i % dense_every == 0:

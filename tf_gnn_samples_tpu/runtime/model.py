@@ -147,6 +147,12 @@ class SparseGraphModel(ABC):
             # replicated on the padded batch, so every task works
             # unchanged. See parallel/graph_parallel.py.
             "graph_parallel": 1,
+            # TPU-native extension: jax.checkpoint each GNN layer so the
+            # backward pass recomputes per-edge activations instead of
+            # holding them — trades one extra forward for O(layers * E * D)
+            # of HBM. Numerically identical; enables deep many-edge-type
+            # configs (VarMisuse-scale) that otherwise exceed chip memory.
+            "remat_layers": False,
         }
 
     @staticmethod
