@@ -394,7 +394,7 @@ def pad_graph_batch(
     if rcv_sorted.shape[0]:
         is_new[0] = True
         is_new[1:] = rcv_sorted[1:] != rcv_sorted[:-1]
-    rcv_rank = (np.cumsum(is_new) - 1).astype(np.int32)
+    rcv_rank = np.cumsum(is_new, dtype=np.int32) - 1
     # Fine (receiver, type) group ranks: the stable sort keeps equal
     # tgt_flat values contiguous, so group boundaries are value changes.
     tgt_sorted = tgt_flat[order]
@@ -402,7 +402,7 @@ def pad_graph_batch(
     if tgt_sorted.shape[0]:
         is_new_f[0] = True
         is_new_f[1:] = tgt_sorted[1:] != tgt_sorted[:-1]
-    tgt_rank = (np.cumsum(is_new_f) - 1).astype(np.int32)
+    tgt_rank = np.cumsum(is_new_f, dtype=np.int32) - 1
     node_to_rank = np.zeros((n_pad,), dtype=np.int32)
     node_has_incoming = np.zeros((n_pad,), dtype=np.float32)
     real = (rcv_sorted < n_pad) & is_new
@@ -421,7 +421,7 @@ def pad_graph_batch(
         if e_tot:
             new[0] = True
             new[1:] = sorted_vals[1:] != sorted_vals[:-1]
-        ranks = (np.cumsum(new) - 1).astype(np.int32)
+        ranks = np.cumsum(new, dtype=np.int32) - 1
         to_rank = np.full((table_rows,), -1, dtype=np.int32)
         firsts = sorted_vals[new]
         keep = firsts < table_rows
@@ -475,7 +475,7 @@ def pad_graph_batch(
     if e_tot_tm:
         tm_new[0] = True
         tm_new[1:] = tgt_flat[1:] != tgt_flat[:-1]
-    tm_rank = (np.cumsum(tm_new) - 1).astype(np.int32)
+    tm_rank = np.cumsum(tm_new, dtype=np.int32) - 1
     # Static self-loop flags per type (see FlatEdges.tm_self).
     type_is_self = []
     for l, adj in enumerate(adjacency_lists):
