@@ -503,3 +503,38 @@ def test_scanned_epoch_with_multi_spec_fold(tmp_path):
     groups = model._stacked_cache[DataFold.TRAIN]
     assert sum(len(idxs) for _, idxs in groups) == n_batches
     assert losses[-1] < losses[0]
+
+
+def test_varmisuse_streaming_parallel_parse_matches_serial(tmp_path):
+    """streaming_parse_workers > 1: the bounded-lookahead spawn pool must
+    yield the SAME sample sequence as the serial path (resume checkpoints
+    capture the host RNG, so the stream order is part of the contract)."""
+    from tf_gnn_samples_tpu.tasks import varmisuse as vm
+
+    root = make_varmisuse_dir(str(tmp_path / "vmp"), num_shards=4,
+                              samples_per_shard=6)
+    params = vm.VarMisuse_Task.default_params()
+
+    def stream_ids(workers):
+        s = vm.ShardedSampleStream(
+            sorted_shards(root),
+            params["graph_node_label_max_num_chars"],
+            params["max_variable_candidates"],
+            params["add_self_loop_edges"], window_graphs=5,
+            parse_workers=workers,
+        )
+        np.random.seed(7)
+        out = [int(x.slot_node_id) for x in s.iter_samples(shuffle=True)]
+        s.close()
+        return out
+
+    def sorted_shards(r):
+        import os
+        d = os.path.join(r, "graphs-train")
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(".gz"))
+
+    serial = stream_ids(0)
+    parallel = stream_ids(2)
+    assert len(serial) == 24
+    assert serial == parallel

@@ -291,12 +291,32 @@ class ShardedSampleStream:
     is_streaming = True
 
     def __init__(self, paths: List[str], max_chars: int, max_cands: int,
-                 self_loops: bool, window_graphs: int = 2000):
+                 self_loops: bool, window_graphs: int = 2000,
+                 parse_workers: int = 0):
         self.paths = list(paths)
         self._parse_args = (max_chars, max_cands, self_loops)
         self.window_graphs = max(int(window_graphs), 1)
+        self.parse_workers = int(parse_workers)
         self.max_buffered = 0  # high-water mark, for tests/telemetry
+        self._pool = None  # lazy spawn pool, reused across epochs
         self._stats = self._load_or_scan_stats()
+
+    def _get_pool(self):
+        if self._pool is None:
+            ctx = multiprocessing.get_context("spawn")
+            self._pool = ctx.Pool(min(self.parse_workers, len(self.paths)))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):  # best-effort worker cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # ---- stats ----------------------------------------------------------
 
@@ -370,11 +390,36 @@ class ShardedSampleStream:
         if shuffle:
             np.random.shuffle(order)
 
-        def parsed():
-            for si in order:
-                yield _parse_shard((self.paths[si],) + self._parse_args)
+        if self.parse_workers > 1 and len(self.paths) > 1:
+            # Bounded-lookahead PARALLEL parse (streaming_parse_workers):
+            # at most workers+1 shards in flight, results consumed in
+            # submission order — same sample sequence (and np.random
+            # consumption) as the serial path, so resume checkpoints
+            # reproduce the stream; memory stays O(in-flight shards).
+            def parsed():
+                from collections import deque
 
-        shard_iter = ThreadedIterator(parsed(), max_queue_size=1)
+                pool = self._get_pool()
+                pending = deque()
+                idx = 0
+                while idx < len(order) or pending:
+                    while (idx < len(order)
+                           and len(pending) < self.parse_workers + 1):
+                        args = (self.paths[order[idx]],) + self._parse_args
+                        pending.append(pool.apply_async(_parse_shard,
+                                                        (args,)))
+                        idx += 1
+                    yield pending.popleft().get()
+
+            shard_source = parsed()
+        else:
+            def parsed():
+                for si in order:
+                    yield _parse_shard((self.paths[si],) + self._parse_args)
+
+            shard_source = parsed()
+
+        shard_iter = ThreadedIterator(shard_source, max_queue_size=1)
         buf: List[GraphSample] = []
         try:
             for shard_samples in shard_iter:
@@ -413,6 +458,11 @@ class VarMisuse_Task(SparseGraphTask):
             # ~15 GB of parsed samples in RAM (ShardedSampleStream).
             "streaming_train_data": False,
             "streaming_window_graphs": 2000,
+            # Parallel shard parsing for the streaming TRAIN fold: 0/1 =
+            # in-line (one prefetch thread); N > 1 = a reusable spawn pool
+            # with bounded lookahead (the host parse, ~30 ms/sample, is
+            # the pipeline bottleneck on direct-attached hardware).
+            "streaming_parse_workers": 0,
         })
         return params
 
@@ -453,6 +503,9 @@ class VarMisuse_Task(SparseGraphTask):
                 self.params["add_self_loop_edges"],
                 window_graphs=self.params.get(
                     "streaming_window_graphs", 2000
+                ),
+                parse_workers=self.params.get(
+                    "streaming_parse_workers", 0
                 ),
             )
         else:
