@@ -558,3 +558,49 @@ def test_gp_overlap_split_matches_and_is_schedulable():
     _, free_scatters, dep_scatters = _taint_from_all_gather(jaxpr.jaxpr)
     assert free_scatters >= 1, "local aggregation depends on the collective"
     assert dep_scatters >= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.parametrize("layer_name,init_kwargs,apply_kwargs", [
+    ("rgin", dict(num_edge_MLP_hidden_layers=1),
+     dict(activation_function="relu", num_edge_MLP_hidden_layers=1)),
+    ("gnn_edge_mlp", dict(use_target_state_as_input=True,
+                          num_edge_hidden_layers=1),
+     dict(activation_function="gelu", use_target_state_as_input=True,
+          num_edge_hidden_layers=1)),
+    ("rgdcn", dict(num_channels=4),
+     dict(num_channels=4, activation_function="relu")),
+    ("gnn_film", {}, dict(activation_function="relu")),
+])
+def test_gp_overlap_schedulable_all_families(layer_name, init_kwargs,
+                                             apply_kwargs):
+    """Every split-aware GP family must keep at least one aggregation
+    with NO data path from the all_gather (the async-overlap property)."""
+    from tf_gnn_samples_tpu.nn.layers import LAYERS
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        GP_LAYERS, partition_graph,
+    )
+
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=96, seed=11)
+    n, d = feats.shape
+    L = len(adj)
+    init_fn, _ = LAYERS[layer_name]
+    params = init_fn(jax.random.PRNGKey(11), L, d, **init_kwargs)
+    shards, n_local, n_global = partition_graph(feats, adj, P_DEV)
+    mesh = make_mesh(P_DEV, axis_name="gp")
+    gp_layer = GP_LAYERS[layer_name]
+
+    def fwd(shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        out = gp_layer(params, shard, shard.node_features + 0.0, "gp",
+                       **apply_kwargs)
+        return out[None]
+
+    sharded = shard_map(fwd, mesh=mesh, in_specs=(P("gp"),),
+                        out_specs=P("gp"), check_vma=False)
+    dev_shards = jax.tree_util.tree_map(jnp.asarray, shards)
+    jaxpr = jax.make_jaxpr(sharded)(dev_shards)
+    _, free_scatters, dep_scatters = _taint_from_all_gather(jaxpr.jaxpr)
+    assert free_scatters >= 1, layer_name
+    assert dep_scatters >= 1, layer_name

@@ -727,13 +727,8 @@ def gp_film_layer_kw(gnn_params, shard: GPShard, h_local, axis_name: str,
             f_loc_table = f_local.reshape(L * n_local, 2 * d)
             # The remote stream's tgt indices are in GLOBAL table space,
             # but its TARGETS are local rows; re-express them in the local
-            # film table's space (the by-tgt sort order is preserved —
-            # (type, receiver) ordering is identical in both spaces).
-            et_rem = jnp.minimum(fr.src_flat // n_global, L)
-            fr_local_tgt = fr._replace(
-                tgt_flat=et_rem * n_local
-                + jnp.minimum(fr.receivers, n_local)
-            )
+            # film table's space (_local_tgt_view).
+            fr_local_tgt = _local_tgt_view(fr, n_local, n_global, L)
             msgs_loc = gather_flat_src(t_local.reshape(L * n_local, D), fl)
             msgs_rem = gather_flat_src(t_full.reshape(L * n_global, D), fr)
             if normalize_by_num_incoming:
@@ -800,6 +795,33 @@ def gp_film_halo_layer(gnn_params, shard: GPHaloShard, h_local,
     return h_local
 
 
+def _local_tgt_view(flat_s: GPFlatEdges, n_local: int, table_rows: int,
+                    L: int) -> GPFlatEdges:
+    """Re-express a stream's tgt indices in the LOCAL table space
+    (targets are always local rows; only the index space is global). The
+    by-tgt sort order is preserved — (type, receiver) ordering is
+    identical in both spaces."""
+    et = jnp.minimum(flat_s.src_flat // table_rows, L)
+    return flat_s._replace(
+        tgt_flat=et * n_local + jnp.minimum(flat_s.receivers, n_local)
+    )
+
+
+def _typed_mlp_tail(m, et, weights, inner_act, L):
+    """Post-first-layer per-edge typed MLP stages as type-masked matmuls
+    (padded edges decode to type L -> every mask false -> zero message;
+    harmless: their receiver is the sliced-off dump row)."""
+    for W in weights[1:]:
+        z = inner_act(m)
+        out = None
+        for l in range(L):
+            part = jnp.dot(z, W[l], preferred_element_type=jnp.float32)
+            part = part * (et == l).astype(part.dtype)[:, None]
+            out = part if out is None else out + part
+        m = out
+    return m
+
+
 def _gp_typed_mlp_messages(weights, shard: GPShard, h_local, axis_name,
                            concat_target: bool, inner_act):
     """Per-edge typed-MLP messages over the partition: the FIRST (linear)
@@ -807,39 +829,60 @@ def _gp_typed_mlp_messages(weights, shard: GPShard, h_local, axis_name,
     concat(source, target) input split into source/target halves, exactly
     as the single-device path); later layers run per-edge as type-masked
     matmuls — correctness-first (L-fold matmul FLOPs; the type counts that
-    use GP are small). Returns (messages [E_dev, D], n_global)."""
-    flat = shard.flat
+    use GP are small).
+
+    With the source-ownership split, returns messages per STREAM as
+    ((msgs_local, flat_local), (msgs_remote, flat_remote), n_global) —
+    the local stream (own typed tables, target tables are always local)
+    has no data path from the all_gather, so XLA overlaps the exchange
+    with its per-edge work. Without the split, returns
+    ((msgs, flat), None, n_global)."""
     W0 = weights[0]
     d = h_local.shape[-1]
+    n_local = h_local.shape[0]
+    split = _overlap_split_ok(shard)
+
     if concat_target:
         ts_l = jnp.einsum("nd,lde->lne", h_local, W0[:, :d, :],
                           preferred_element_type=jnp.float32)
         tt_l = jnp.einsum("nd,lde->lne", h_local, W0[:, d:, :],
                           preferred_element_type=jnp.float32)
         ts = jax.lax.all_gather(ts_l, axis_name, axis=1, tiled=True)
-        tt = jax.lax.all_gather(tt_l, axis_name, axis=1, tiled=True)
         L, n_global, D = ts.shape
-        m = (gather_flat_src(ts.reshape(L * n_global, D), flat)
-             + gather_flat_tgt(tt.reshape(L * n_global, D), flat))
+        tt_table = tt_l.reshape(L * n_local, D)
+        if split:
+            fl, fr = shard.flat_local, shard.flat_remote
+            m_loc = (gather_flat_src(ts_l.reshape(L * n_local, D), fl)
+                     + gather_flat_tgt(tt_table, fl))
+            m_rem = (gather_flat_src(ts.reshape(L * n_global, D), fr)
+                     + gather_flat_tgt(
+                         tt_table, _local_tgt_view(fr, n_local, n_global, L)
+                     ))
+        else:
+            tt = jax.lax.all_gather(tt_l, axis_name, axis=1, tiled=True)
+            m = (gather_flat_src(ts.reshape(L * n_global, D), shard.flat)
+                 + gather_flat_tgt(tt.reshape(L * n_global, D), shard.flat))
     else:
         t_l = jnp.einsum("nd,lde->lne", h_local, W0,
                          preferred_element_type=jnp.float32)
         t = jax.lax.all_gather(t_l, axis_name, axis=1, tiled=True)
         L, n_global, D = t.shape
-        m = gather_flat_src(t.reshape(L * n_global, D), flat)
-    if len(weights) > 1:
-        # Padded edges decode to type L -> every mask false -> zero
-        # message (harmless: their receiver is the sliced-off dump row).
-        et = jnp.minimum(flat.src_flat // n_global, L)
-        for W in weights[1:]:
-            z = inner_act(m)
-            out = None
-            for l in range(L):
-                part = jnp.dot(z, W[l], preferred_element_type=jnp.float32)
-                part = part * (et == l).astype(part.dtype)[:, None]
-                out = part if out is None else out + part
-            m = out
-    return m, n_global
+        if split:
+            fl, fr = shard.flat_local, shard.flat_remote
+            m_loc = gather_flat_src(t_l.reshape(L * n_local, D), fl)
+            m_rem = gather_flat_src(t.reshape(L * n_global, D), fr)
+        else:
+            m = gather_flat_src(t.reshape(L * n_global, D), shard.flat)
+
+    if split:
+        et_loc = jnp.minimum(fl.src_flat // n_local, L)
+        et_rem = jnp.minimum(fr.src_flat // n_global, L)
+        m_loc = _typed_mlp_tail(m_loc, et_loc, weights, inner_act, L)
+        m_rem = _typed_mlp_tail(m_rem, et_rem, weights, inner_act, L)
+        return (m_loc, fl), (m_rem, fr), n_global
+    et = jnp.minimum(shard.flat.src_flat // n_global, L)
+    m = _typed_mlp_tail(m, et, weights, inner_act, L)
+    return (m, shard.flat), None, n_global
 
 
 def gp_rgin_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
@@ -858,11 +901,19 @@ def gp_rgin_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
     n_local = h_local.shape[0]
     for _ in range(num_timesteps):
         if num_edge_MLP_hidden_layers is not None:
-            m, _ = _gp_typed_mlp_messages(
+            loc, rem, _ = _gp_typed_mlp_messages(
                 gnn_params["edge_mlp"], shard, h_local, axis_name,
                 use_target_state_as_input, act,
             )
-            msgs = act(m)  # act on MLP outputs (rgin.py:128-129)
+            if rem is not None:
+                # act on MLP outputs (rgin.py:128-129), per stream:
+                agg = _aggregate_split(
+                    act(loc[0]), loc[1], act(rem[0]), rem[1], n_local,
+                    message_aggregation_function,
+                )
+            else:
+                agg = aggregate_flat(act(loc[0]), loc[1], n_local,
+                                     message_aggregation_function)
         else:
             # Raw source states as messages (rgin.py:121-124): one
             # all_gather of h; the message is type-independent, so the
@@ -870,11 +921,23 @@ def gp_rgin_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
             h_full = jax.lax.all_gather(h_local, axis_name, axis=0,
                                         tiled=True)
             n_global = h_full.shape[0]
-            msgs = jnp.take(
-                h_full, shard.flat.src_flat % n_global, axis=0, mode="clip"
-            ) * shard.flat.mask[:, None]
-        agg = aggregate_flat(msgs, shard.flat, n_local,
-                             message_aggregation_function)
+            if _overlap_split_ok(shard):
+                fl, fr = shard.flat_local, shard.flat_remote
+                m_loc = jnp.take(
+                    h_local, fl.src_flat % n_local, axis=0, mode="clip"
+                ) * fl.mask[:, None]
+                m_rem = jnp.take(
+                    h_full, fr.src_flat % n_global, axis=0, mode="clip"
+                ) * fr.mask[:, None]
+                agg = _aggregate_split(m_loc, fl, m_rem, fr, n_local,
+                                       message_aggregation_function)
+            else:
+                msgs = jnp.take(
+                    h_full, shard.flat.src_flat % n_global, axis=0,
+                    mode="clip",
+                ) * shard.flat.mask[:, None]
+                agg = aggregate_flat(msgs, shard.flat, n_local,
+                                     message_aggregation_function)
         if num_aggr_MLP_hidden_layers is not None:
             from ..nn.mlp import mlp_apply
 
@@ -901,15 +964,24 @@ def gp_gnn_edge_mlp_layer(gnn_params, shard: GPShard, h_local,
     elu = get_activation("elu")
     n_local = h_local.shape[0]
     for _ in range(num_timesteps):
-        m, _ = _gp_typed_mlp_messages(
+        loc, rem, _ = _gp_typed_mlp_messages(
             gnn_params["edge_mlp"], shard, h_local, axis_name,
             use_target_state_as_input, elu,
         )
-        if normalize_by_num_incoming:
-            m = m * shard.flat.norm_scale[:, None]
-        msgs = act(m)  # activation on messages (gnn_edge_mlp.py:112)
-        agg = aggregate_flat(msgs, shard.flat, n_local,
-                             message_aggregation_function)
+
+        def finalize(m, flat_s):
+            if normalize_by_num_incoming:
+                m = m * flat_s.norm_scale[:, None]
+            return act(m)  # activation on messages (gnn_edge_mlp.py:112)
+
+        if rem is not None:
+            agg = _aggregate_split(
+                finalize(*loc), loc[1], finalize(*rem), rem[1], n_local,
+                message_aggregation_function,
+            )
+        else:
+            agg = aggregate_flat(finalize(*loc), loc[1], n_local,
+                                 message_aggregation_function)
         h_local = layer_norm(gnn_params["ln"], agg)
     return h_local
 
@@ -944,16 +1016,26 @@ def gp_rgdcn_layer(gnn_params, shard: GPShard, h_local, axis_name: str,
     for _ in range(num_timesteps):
         h_full = jax.lax.all_gather(h_local, axis_name, axis=0, tiled=True)
         n_global = h_full.shape[0]
-        flat = shard.flat
-        m = jnp.take(h_full, flat.src_flat % n_global, axis=0, mode="clip")
-        if normalize_by_num_incoming:
-            m = m * flat.norm_scale[:, None]
+
+        def typed_sums(h_table, flat_s, table_rows):
+            m = jnp.take(h_table, flat_s.src_flat % table_rows, axis=0,
+                         mode="clip")
+            if normalize_by_num_incoming:
+                m = m * flat_s.norm_scale[:, None]
+            else:
+                m = m * flat_s.mask[:, None]
+            et = jnp.minimum(flat_s.src_flat // table_rows, L)
+            seg = (et * (n_local + 1)
+                   + jnp.minimum(flat_s.receivers, n_local))
+            S = jax.ops.segment_sum(m, seg, (L + 1) * (n_local + 1))
+            return S.reshape(L + 1, n_local + 1, -1)[:L, :n_local]
+
+        if _overlap_split_ok(shard):
+            # Local-source sums have no data path from the all_gather.
+            S = (typed_sums(h_local, shard.flat_local, n_local)
+                 + typed_sums(h_full, shard.flat_remote, n_global))
         else:
-            m = m * flat.mask[:, None]
-        et = jnp.minimum(flat.src_flat // n_global, L)
-        seg = et * (n_local + 1) + jnp.minimum(flat.receivers, n_local)
-        S = jax.ops.segment_sum(m, seg, (L + 1) * (n_local + 1))
-        S = S.reshape(L + 1, n_local + 1, -1)[:L, :n_local]
+            S = typed_sums(h_full, shard.flat, n_global)
         h_chunked = h_local.reshape(n_local, num_channels, channel_dim)
         S_chunk = S.reshape(L, n_local, num_channels, channel_dim)
         out = None
