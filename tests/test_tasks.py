@@ -538,3 +538,66 @@ def test_varmisuse_streaming_parallel_parse_matches_serial(tmp_path):
     parallel = stream_ids(2)
     assert len(serial) == 24
     assert serial == parallel
+
+
+def test_qm9_collapse_diagnostic():
+    """The degenerate-basin guard flags validation losses pinned at the
+    constant-prediction floor (or a saturated gate), and stays silent on
+    healthy losses (docs/PARITY.md small-fold pathology)."""
+    from tf_gnn_samples_tpu.tasks.qm9 import QM9_Task, GraphSample
+
+    params = QM9_Task.default_params()
+    task = QM9_Task(params)
+    rng = np.random.RandomState(0)
+    targets = rng.randn(64).astype(np.float32) * 0.9 + 0.2
+    task._loaded_data[DataFold.VALIDATION] = [
+        GraphSample(
+            adjacency_lists=[np.zeros((0, 2), np.int32)],
+            type_to_node_to_num_incoming_edges=np.zeros((1, 1), np.float32),
+            node_features=np.zeros((1, 15), np.float32),
+            target_values=np.array([t], np.float32),
+        )
+        for t in targets
+    ]
+    floor = 0.5 * float(np.mean((targets - targets.mean()) ** 2))
+    healthy_metrics = [{"gate_sum": 50.0, "gate_nodes": 100.0}]
+
+    # Pinned at the floor -> flagged.
+    assert task.collapse_diagnostic(floor, healthy_metrics, 64) is not None
+    # Zero-prediction basin (slightly above the mean floor) -> flagged.
+    zero_floor = 0.5 * float(np.mean(targets ** 2))
+    assert task.collapse_diagnostic(zero_floor, healthy_metrics, 64) is not None
+    # Healthy converged loss well below the band -> silent.
+    assert task.collapse_diagnostic(0.4 * floor, healthy_metrics, 64) is None
+    # Saturated gate flags even when the loss escaped the band.
+    saturated = [{"gate_sum": 1.0, "gate_nodes": 100.0}]
+    assert task.collapse_diagnostic(0.4 * floor, saturated, 64) is not None
+
+
+def test_train_loop_collapse_warning(tmp_path, monkeypatch):
+    """The trainer logs the collapse warning after COLLAPSE_WARN_EPOCHS
+    consecutive flagged validation epochs, and never for healthy runs."""
+    import __graft_entry__ as ge
+    from tf_gnn_samples_tpu.runtime import model as model_mod
+
+    model, task, samples = ge._tiny_task_and_model("RGCN", hidden=16, n_layers=1)
+    task._loaded_data[DataFold.TRAIN] = samples
+    task._loaded_data[DataFold.VALIDATION] = samples[:4]
+    model.result_dir = str(tmp_path)
+
+    calls = {"n": 0}
+
+    def always_collapsed(valid_loss, metrics, num_graphs):
+        calls["n"] += 1
+        return "validation loss pinned (test stub)"
+
+    monkeypatch.setattr(type(task), "collapse_diagnostic",
+                        staticmethod(lambda *a, **k: always_collapsed(*a[-3:])),
+                        raising=False)
+    monkeypatch.setitem(model.params, "max_epochs",
+                        model_mod.COLLAPSE_WARN_EPOCHS + 1)
+    monkeypatch.setitem(model.params, "patience", 100)
+    model.train(quiet=True)
+    log = open(model.log_file).read()
+    assert "collapsed-optimization basin suspected" in log
+    assert log.count("collapsed-optimization basin suspected") == 1

@@ -39,6 +39,11 @@ from ..tasks.base import DataFold, SparseGraphTask, TaskBatch
 from ..utils.iterators import ThreadedIterator
 from .optimizers import clip_grads_per_tensor, make_optimizer
 
+# Consecutive flagged validation epochs before the degenerate-basin
+# warning fires (healthy runs pass through the basin's loss band only
+# briefly during the first few epochs).
+COLLAPSE_WARN_EPOCHS = 5
+
 
 def unify_win_tokens(batches: List[TaskBatch]) -> List[TaskBatch]:
     """Give a set of batches identical rank-window tokens so they share
@@ -1243,6 +1248,7 @@ class SparseGraphModel(ABC):
         best_valid_metric, best_val_metric_epoch, best_val_metric_descr = (
             float("+inf"), 0, "",
         )
+        collapse_streak, collapse_warned = 0, False
         total_num_graphs = 0  # metrics x-axis (reference sparse_graph_model.py:143-151)
         start_epoch = 1
         if resume_from is not None:
@@ -1310,6 +1316,28 @@ class SparseGraphModel(ABC):
                     {"loss": valid_loss, "epoch": epoch,
                      "early_stopping_metric": early_stopping_metric},
                 )
+
+            # Degenerate-basin guard (docs/PARITY.md): warn loudly when the
+            # task reports the validation fold stuck in a known collapsed
+            # basin for several consecutive epochs.
+            collapse_msg = self.task.collapse_diagnostic(
+                valid_loss, valid_task_metrics, valid_num_graphs
+            )
+            if collapse_msg is None:
+                collapse_streak = 0
+            else:
+                collapse_streak += 1
+                if collapse_streak == COLLAPSE_WARN_EPOCHS and not collapse_warned:
+                    collapse_warned = True
+                    self.log_line(
+                        "WARNING: collapsed-optimization basin suspected — %s "
+                        "for %i consecutive epochs. The model is likely stuck "
+                        "predicting a constant. If training on a small fold with "
+                        "hypers tuned for a larger one, reduce the step size "
+                        "(small-fold recipe: Adam, learning_rate 1e-4, "
+                        "max_nodes_in_batch 10000 — see docs/PARITY.md)."
+                        % (collapse_msg, COLLAPSE_WARN_EPOCHS)
+                    )
 
             if early_stopping_metric < best_valid_metric:
                 self.save_model(self.best_model_file)

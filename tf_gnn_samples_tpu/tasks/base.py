@@ -372,6 +372,18 @@ class SparseGraphTask(ABC):
     ) -> str:
         ...
 
+    def collapse_diagnostic(
+        self, valid_loss: float,
+        task_metric_results: List[Dict[str, np.ndarray]], num_graphs: int,
+    ) -> Optional[str]:
+        """Per-epoch degenerate-optimization check, evaluated on the
+        validation fold by the training loop. Return a short description
+        when this epoch's validation statistics sit in a known collapsed
+        basin (e.g. a constant-prediction head), else None. The trainer
+        warns loudly after several consecutive flagged epochs. Tasks with
+        no known degenerate basin keep this default."""
+        return None
+
 
 def read_jsonl_gz(path: str) -> List[Any]:
     """Minimal replacement for dpu_utils RichPath.read_by_file_suffix on

@@ -211,6 +211,7 @@ class QM9_Task(SparseGraphTask):
 
         metrics: Dict[str, Any] = {}
         losses = []
+        gate_sum = 0.0
         for internal_id, task_id in enumerate(self.params["task_ids"]):
             head = params["task%i" % task_id]
             if rng is not None:
@@ -218,9 +219,11 @@ class QM9_Task(SparseGraphTask):
             else:
                 k1 = k2 = None
             per_node = mlp_apply(head["transform"], final_h, dropout_rate=drop, rng=k2)
-            gated = jax.nn.sigmoid(
+            gate_val = jax.nn.sigmoid(
                 mlp_apply(head["gate"], gate_input, dropout_rate=drop, rng=k1)
-            ) * per_node  # [N_pad, 1]
+            )  # [N_pad, 1]
+            gate_sum = gate_sum + jnp.sum(gate_val[:, 0] * g.node_mask)
+            gated = gate_val * per_node  # [N_pad, 1]
             # Padded nodes belong to dump graph g_pad; aggregate into
             # g_pad + 1 slots then drop the dump slot.
             per_graph = segment_sum(
@@ -232,6 +235,10 @@ class QM9_Task(SparseGraphTask):
         loss = sum(losses)
         metrics["loss"] = loss
         metrics["total_loss"] = loss * num_graphs
+        # Gate-saturation telemetry for the collapse diagnostic: mean
+        # sigmoid gate activation over real nodes (summed across task heads).
+        metrics["gate_sum"] = gate_sum
+        metrics["gate_nodes"] = jnp.sum(g.node_mask) * float(len(self.params["task_ids"]))
         return loss, metrics
 
     # -------------------- Minibatching --------------------
@@ -302,6 +309,44 @@ class QM9_Task(SparseGraphTask):
 
     def early_stopping_metric(self, task_metric_results, num_graphs: int) -> float:
         return float(np.sum([m["total_loss"] for m in task_metric_results]) / num_graphs)
+
+    def _constant_prediction_floors(self) -> Optional[Tuple[float, float]]:
+        """Validation losses of the two degenerate constant predictors:
+        (best constant = per-task target mean, all-zeros). The gated head's
+        collapsed basin (gate saturates near 0, docs/PARITY.md) pins the
+        validation loss between these. Computed lazily from the loaded
+        validation fold."""
+        if getattr(self, "_collapse_floors", None) is None:
+            valid = self._loaded_data.get(DataFold.VALIDATION)
+            if not valid:
+                return None
+            tv = np.stack([s.target_values for s in valid])  # [G, T]
+            floor_mean = 0.5 * float(np.sum(np.mean((tv - tv.mean(0)) ** 2, axis=0)))
+            floor_zero = 0.5 * float(np.sum(np.mean(tv ** 2, axis=0)))
+            self._collapse_floors = (floor_mean, floor_zero)
+        return self._collapse_floors
+
+    def collapse_diagnostic(
+        self, valid_loss: float, task_metric_results, num_graphs: int
+    ) -> Optional[str]:
+        floors = self._constant_prediction_floors()
+        if floors is None:
+            return None
+        floor_mean, floor_zero = floors
+        gate_nodes = float(np.sum([m.get("gate_nodes", 0.0) for m in task_metric_results]))
+        gate_mean = (
+            float(np.sum([m.get("gate_sum", 0.0) for m in task_metric_results])) / gate_nodes
+            if gate_nodes > 0 else float("nan")
+        )
+        in_band = 0.85 * floor_mean <= valid_loss <= 1.25 * max(floor_mean, floor_zero)
+        saturated = gate_mean == gate_mean and gate_mean < 0.05
+        if in_band or saturated:
+            return (
+                "validation loss %.5f sits at the constant-prediction basin "
+                "(target-variance floor %.5f, zero-prediction %.5f; mean gate "
+                "activation %.3f)" % (valid_loss, floor_mean, floor_zero, gate_mean)
+            )
+        return None
 
     def pretty_print_epoch_task_metrics(self, task_metric_results, num_graphs: int) -> str:
         maes = {t: 0.0 for t in self.params["task_ids"]}
