@@ -569,9 +569,13 @@ def test_qm9_collapse_diagnostic():
     assert task.collapse_diagnostic(zero_floor, healthy_metrics, 64) is not None
     # Healthy converged loss well below the band -> silent.
     assert task.collapse_diagnostic(0.4 * floor, healthy_metrics, 64) is None
-    # Saturated gate flags even when the loss escaped the band.
+    # A saturated gate with the loss already BELOW the basin stays silent
+    # (models can train through a low-gate phase — observed on EMLP1).
     saturated = [{"gate_sum": 1.0, "gate_nodes": 100.0}]
-    assert task.collapse_diagnostic(0.4 * floor, saturated, 64) is not None
+    assert task.collapse_diagnostic(0.4 * floor, saturated, 64) is None
+    # In-band, the message carries the gate telemetry.
+    msg = task.collapse_diagnostic(floor, saturated, 64)
+    assert msg is not None and "gate activation 0.010" in msg
 
 
 def test_train_loop_collapse_warning(tmp_path, monkeypatch):

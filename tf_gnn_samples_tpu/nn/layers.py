@@ -362,10 +362,42 @@ def rgat_apply(
         logit_tgt = jnp.einsum("lnkd,lkd->lnk", t_heads, att_tgt)
 
         if streamed:
+            flat = graph.flat
+            e_tot = flat.src_flat.shape[0]
+            fused = (
+                getattr(flat, "src_from_rank", None) is not None
+                and getattr(flat, "fine_rank_by_src", None) is not None
+                and getattr(flat, "fine_to_rcv", None) is not None
+                and rs.rgat_fused_supported(
+                    e_tot, state_dim, num_heads,
+                    rs.rank_table_rows(n_pad, 256),
+                    flat.src_from_rank.shape[0],
+                )
+            )
+            if fused:
+                # Fused custom-VJP pass: identical forward pipeline, but
+                # the backward recomputes the message cotangent in source
+                # order from small tables instead of permuting an [E, D]
+                # stream (ops/ranked_segment.rgat_fused_pass).
+                lt_ranked = take_by_fine_rank(_flat(logit_tgt), graph)
+                type_oh_t = jax.nn.one_hot(
+                    flat.edge_type, L, dtype=jnp.float32, axis=0
+                )
+                table = rs.rgat_fused_pass(
+                    _flat(t), lt_ranked, att_src,
+                    flat.src_flat, flat.fine_rank_by_src,
+                    flat.src_sorted_rank, flat.src_to_rank,
+                    flat.src_from_rank, flat.rcv_rank, flat.tgt_rank,
+                    flat.mask, flat.fine_to_rcv, graph.node_to_rank,
+                    type_oh_t, num_heads, n_pad, 256,
+                    token_window(flat.win_fine),
+                    token_window(flat.win_src),
+                )
+                h = act(ranked_table_to_nodes(table, graph))
+                continue
             m2 = gather_flat_src(
                 _flat(t).astype(jnp.bfloat16), graph.flat
             )  # [E_tot, D]
-            e_tot = m2.shape[0]
             # HEAD-MAJOR attention pipeline: every narrow per-edge array
             # lives as [K, E] (or [L*K, E]) — [E, K] f32 would tile to a
             # full (8, 128) tile per 8 rows, a 32x physical inflation at

@@ -1819,6 +1819,349 @@ def _film_vjp_bwd(act, block_edges, win, res, g):
 film_ranked_aggregate.defvjp(_film_vjp_fwd, _film_vjp_bwd)
 
 
+# ---- fused RGAT attention pass (src-order recompute backward) --------------
+
+
+def _wseg_t_dw_kernel(start_ref, rank_ref, msg_ref, g_ref, dwt_ref,
+                      *, be, rl, sub, d, k):
+    """dw-only half of the weighted-segment-sum backward: per-head dots of
+    the edge messages with the expanded gradient table. Emitting ONLY the
+    narrow [K, E] output spares the [E, D] dmsg stream write for callers
+    that reconstruct dmsg in source order (rgat_fused_pass)."""
+    c = pl.program_id(0)
+    rep = _head_replicate_matrix(k, d)
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        g_e = jnp.dot(
+            oh_t, g_ref[pl.ds(start, rl), :],
+            preferred_element_type=jnp.float32,
+        )  # [BE, D]
+        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        dwt_ref[:, pl.ds(s * be, be)] = jax.lax.dot_general(
+            rep, m * g_e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, BE]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_edges", "win"))
+def _wseg_t_dw_impl(msgs, g16, ranks, *, num_heads, block_edges, win=0):
+    e, dim = msgs.shape
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_wseg_t_dw_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, k=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bf16 g table resident
+        ],
+        out_specs=pl.BlockSpec((num_heads, STEP), lambda c: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_heads, e), jnp.float32),
+        compiler_params=_params(
+            g16.shape[0] * _ceil_mult(dim, 128) * 2),
+        interpret=_interpret(),
+    )(starts, blocks, msgs, g16)
+
+
+def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
+                         toh_ref, attb_ref, dt_ref, da_ref,
+                         *, be, rl, sub, d, k, clamp):
+    """dt + d_att_src halves of the RGAT backward over the SOURCE-sorted
+    edge stream.
+
+    Recomputes the attention weight and the pre-activation logit cotangent
+    per edge FROM SMALL TABLES — the transformed messages expand in-VMEM
+    from the src-rank table (bitwise the forward's bf16 rows); everything
+    receiver-keyed (the aggregation cotangent, the target logit halves, the
+    softmax denominator, and the softmax correction term s) arrives as ONE
+    XLA row gather from a [RPAD, D+3K] bf16 fine-rank side table — and
+    accumulates
+
+        dmsg_e = attn_e * dagg_rcv(e) + dpre_e * att_src[type(e)]
+
+    into the src rank table, which IS dt in rank space. Nothing [E, D]-
+    shaped is permuted between edge orders (the measured hot op this
+    replaces: a 7.8 ms/layer cotangent permute at PPI scale). The type
+    one-hot expands from a tiny resident [R_src, L] table so the same pass
+    accumulates d_att_src's [L, D] block layout."""
+    c = pl.program_id(0)
+    rep = _head_replicate_matrix(k, d)  # [K, D]
+    e_real = ereal_ref[0]
+
+    @pl.when(c == 0)
+    def _():
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        t_slab = t_ref[pl.ds(start, rl), :]  # bf16 [RL, D]
+        m = jnp.dot(oh_t, t_slab, preferred_element_type=jnp.float32)
+        toh = jnp.dot(
+            oh_t, toh_ref[pl.ds(start, rl), :],
+            preferred_element_type=jnp.float32,
+        )  # [BE, L] (exact one-hot rows: oh_t selects one row)
+        attv = jnp.dot(
+            toh.astype(jnp.bfloat16), attb_ref[:],
+            preferred_element_type=jnp.float32,
+        )  # [BE, D] = att_src[type(e)] in head-block lane layout
+        gcb = gcb_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        dagg = gcb[:, :d]
+        lt = gcb[:, d:d + k]
+        den = gcb[:, d + k:d + 2 * k]
+        s_cor = gcb[:, d + 2 * k:d + 3 * k]
+        lsrc = jax.lax.dot_general(
+            m * attv, rep, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BE, K]
+        pre = lsrc + lt
+        logit = jnp.where(pre > 0, pre, 0.2 * pre)  # leaky_relu, tf default
+        ex = jnp.exp(jnp.clip(logit, -clamp, clamp))
+        attn = ex / (den + 1e-7)
+        draw = jax.lax.dot_general(
+            m * dagg, rep, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BE, K] = <m_e head k, dagg_rcv head k>
+        dlog = attn * (draw - s_cor)
+        dpre = jnp.where(pre > 0, dlog, 0.2 * dlog)
+        # Padded edges (contiguous tail of the src-sorted stream) would
+        # otherwise pollute d_att_src; their dt rows are slack anyway.
+        eidx = c * STEP + s * be + jax.lax.broadcasted_iota(
+            jnp.int32, (be, 1), 0
+        )
+        live = (eidx < e_real).astype(jnp.float32)
+        attn_rep = jnp.dot(attn, rep, preferred_element_type=jnp.float32)
+        dpre_rep = jnp.dot(dpre, rep, preferred_element_type=jnp.float32)
+        dmsg = (attn_rep * dagg + dpre_rep * attv) * live
+        contrib = jnp.dot(oh, dmsg.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        cur = dt_ref[pl.ds(start, rl), :]
+        dt_ref[pl.ds(start, rl), :] = cur + contrib
+        da_ref[:] = da_ref[:] + jax.lax.dot_general(
+            toh, dpre_rep * m * live, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [L, D]
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
+                                             "block_edges", "clamp", "win"))
+def _rgat_src_bwd_impl(gcb_src, t_ranked, type_oh_rank, att_block, e_real,
+                       ranks, *, table_rows, num_heads, block_edges,
+                       clamp, win=0):
+    e = ranks.shape[0]
+    dim = t_ranked.shape[1]
+    k = num_heads
+    assert gcb_src.shape == (e, dim + 3 * k), (gcb_src.shape, e, dim, k)
+    assert t_ranked.shape[0] == table_rows, (t_ranked.shape, table_rows)
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    num_types = att_block.shape[0]
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_rgat_src_bwd_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, k=k, clamp=clamp)
+    lane_d = _ceil_mult(dim, 128)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # e_real scalar
+            pl.BlockSpec((STEP, dim + 3 * k), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # t rank table resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # type one-hot resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # att block resident
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+            jax.ShapeDtypeStruct((num_types, dim), jnp.float32),
+        ),
+        compiler_params=_params(
+            table_rows * lane_d * (2 + 4) + table_rows * 128 * 2),
+        interpret=_interpret(),
+    )(starts, blocks, e_real, gcb_src, t_ranked, type_oh_rank, att_block)
+
+
+def rgat_fused_supported(num_edges: int, dim: int, num_heads: int,
+                         table_rows: int, src_rows: int) -> bool:
+    """Eligibility of the fused RGAT pass: the receiver-side kernels
+    (wseg fwd/dw) plus the src-side recompute kernel (resident bf16 t
+    table + f32 dt table + type one-hot + double-buffered [STEP, D+3K]
+    bf16 stream) fit VMEM."""
+    if not ENABLE_FUSED_SRC_PASS or dim % num_heads:
+        return False
+    lane_d = _ceil_mult(dim, 128)
+    lane_g = _ceil_mult(dim + 3 * num_heads, 128)
+    src_vmem = (src_rows * lane_d * (2 + 4) + src_rows * 128 * 2
+                + 2 * STEP * lane_g * 2)
+    return (src_vmem <= _VMEM_BUDGET
+            and ranked_supported(num_edges, dim, table_rows))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+def rgat_fused_pass(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
+                    src_sorted_rank, src_to_rank, src_from_rank,
+                    rcv_rank, tgt_rank, edge_mask, fine_to_rcv,
+                    node_to_rank, edge_type_oh_t,
+                    num_heads: int, n_pad: int, block_edges: int,
+                    win_fine: int, win_src: int):
+    """RGAT attention pass (reference gnns/rgat.py:95-138) with the
+    source-side gather fused into the VJP.
+
+    Forward ≡ the head-major streamed pipeline (nn/layers.py rgat_apply):
+    messages gathered once from the type-stacked transform table, source
+    logit halves via one [E, L*K] MXU dot + type one-hot contraction,
+    target halves expanded from the fine-rank `lt_table` [RPAD, K],
+    clamped-exp receiver softmax, fused weighted aggregation into the
+    coarse rank table (returned pre-activation/pre-combine).
+
+    Backward REPLACES the [E, D] cotangent permute of the generic gather
+    VJP (measured 7.8 ms/layer at PPI scale — the step's hottest op) with
+    a source-order recompute: a dw-only receiver kernel produces the raw
+    per-edge attention cotangents, narrow [K, E] XLA math + two ranked
+    segment-sums produce the softmax correction table and d(lt_table), and
+    one src-order kernel recomputes attention + logit cotangents from a
+    single [E, D+3K] bf16 row gather (aggregation cotangent | target
+    logits | softmax denominator | correction term, keyed by the fine rank
+    of each src-sorted edge) and streams dmsg directly into the src rank
+    table. Receiver-keyed values ride bf16 through the side table; the
+    resulting ~1e-3-relative gradient noise is far below SGD batch noise
+    (tests: rtol 8e-2 vs the segment path, same as the other fused VJPs).
+    """
+    table, _ = _rgat_fwd_compute(
+        t_flat, lt_table, att_src, src_idx, rcv_rank, tgt_rank, edge_mask,
+        edge_type_oh_t, num_heads, n_pad, block_edges, win_fine,
+    )
+    return table
+
+
+def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
+                      tgt_rank, edge_mask, edge_type_oh_t, num_heads,
+                      n_pad, block_edges, win_fine, clamp: float = 50.0):
+    L, k, dh = att_src.shape
+    d = t_flat.shape[1]
+    e_tot = src_idx.shape[0]
+    t16 = t_flat.astype(jnp.bfloat16)
+    m2 = jnp.take(t16, src_idx, axis=0, mode="clip")  # [E, D]
+    # Head-block-diagonal stack of every type's source attention vector
+    # (see nn/layers.py rgat_apply for the layout rationale).
+    a_all = jnp.einsum(
+        "lkd,kq->kdlq", att_src, jnp.eye(k, dtype=att_src.dtype),
+    ).reshape(d, L * k)
+    logits_all = jax.lax.optimization_barrier(jax.lax.dot(
+        m2, a_all.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ))
+    lsrc_t = jnp.einsum(
+        "lke,le->ke", logits_all.T.reshape(L, k, e_tot), edge_type_oh_t,
+    )
+    ltgt_t = _expand_t_impl(lt_table.T, tgt_rank,
+                            block_edges=block_edges, win=win_fine)
+    pre_t = lsrc_t + ltgt_t
+    logits_t = jnp.where(pre_t > 0, pre_t, 0.2 * pre_t)
+    ex_t = jnp.exp(jnp.clip(logits_t, -clamp, clamp)) * edge_mask[None, :]
+    rows = rank_table_rows(n_pad, block_edges)
+    den = _segsum_t_impl(ex_t, rcv_rank, table_rows=rows,
+                         block_edges=block_edges, win=win_fine)
+    attn_t = ex_t / (_expand_t_impl(den, rcv_rank, block_edges=block_edges,
+                                    win=win_fine)
+                     + 1e-7)
+    table = _wseg_t_impl(m2, attn_t, rcv_rank, table_rows=rows,
+                         num_heads=num_heads, block_edges=block_edges,
+                         win=win_fine)
+    sign = (pre_t > 0).astype(jnp.int8)
+    return table, (m2, attn_t, den, sign, t16)
+
+
+def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
+                  src_sorted_rank, src_to_rank, src_from_rank,
+                  rcv_rank, tgt_rank, edge_mask, fine_to_rcv,
+                  node_to_rank, edge_type_oh_t,
+                  num_heads, n_pad, block_edges, win_fine, win_src):
+    table, (m2, attn_t, den, sign, t16) = _rgat_fwd_compute(
+        t_flat, lt_table, att_src, src_idx, rcv_rank, tgt_rank, edge_mask,
+        edge_type_oh_t, num_heads, n_pad, block_edges, win_fine,
+    )
+    res = (m2, attn_t, den, sign, t16, lt_table, att_src,
+           fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
+           rcv_rank, tgt_rank, edge_mask, fine_to_rcv, node_to_rank,
+           jnp.zeros((0,), t_flat.dtype))
+    return table, res
+
+
+def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
+                  res, g):
+    (m2, attn_t, den, sign, t16, lt_table, att_src,
+     fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
+     rcv_rank, tgt_rank, edge_mask, fine_to_rcv, node_to_rank,
+     t_proto) = res
+    k = num_heads
+    L, _, dh = att_src.shape
+    d = m2.shape[1]
+    clamp = 50.0
+    rows = rank_table_rows(n_pad, block_edges)
+    rpad = lt_table.shape[0]
+    g16 = g.astype(jnp.bfloat16)
+
+    # Receiver-order half: raw attention cotangents, softmax correction
+    # table, and the fine-rank d(lt_table) — all narrow [K, E] math.
+    draw_t = _wseg_t_dw_impl(m2, g16, rcv_rank, num_heads=k,
+                             block_edges=block_edges, win=win_fine)
+    s_tab = _segsum_t_impl(attn_t * draw_t, rcv_rank, table_rows=rows,
+                           block_edges=block_edges, win=win_fine)
+    s_exp = _expand_t_impl(s_tab, rcv_rank, block_edges=block_edges,
+                           win=win_fine)
+    lrfac = jnp.where(sign > 0, 1.0, 0.2)
+    dpre_t = attn_t * (draw_t - s_exp) * lrfac
+    d_lt = _segsum_t_impl(dpre_t, tgt_rank, table_rows=rpad,
+                          block_edges=block_edges, win=win_fine).T
+
+    # Source-order half: one [RPAD, D+3K] bf16 side table holding every
+    # receiver-keyed value an edge needs, gathered per src-sorted edge.
+    cof = jnp.take(node_to_rank, jnp.minimum(fine_to_rcv, n_pad - 1))
+    side = jnp.concatenate([
+        jnp.take(g16, cof, axis=0),
+        lt_table.astype(jnp.bfloat16),
+        jnp.take(den.T.astype(jnp.bfloat16), cof, axis=0),
+        jnp.take(s_tab.T.astype(jnp.bfloat16), cof, axis=0),
+    ], axis=1)  # [RPAD, D+3K]
+    gcb_src = jnp.take(side, fine_rank_by_src, axis=0, mode="clip")
+    t_ranked = jnp.take(t16, src_from_rank, axis=0, mode="clip")
+    type_oh_rank = jax.nn.one_hot(src_from_rank // n_pad, L,
+                                  dtype=jnp.bfloat16)
+    att_block = att_src.reshape(L, d).astype(jnp.bfloat16)
+    e_real = jnp.sum(edge_mask).astype(jnp.int32).reshape(1)
+    dt_table, d_att_block = _rgat_src_bwd_impl(
+        gcb_src, t_ranked, type_oh_rank, att_block, e_real,
+        src_sorted_rank, table_rows=src_from_rank.shape[0],
+        num_heads=k, block_edges=block_edges, clamp=clamp, win=win_src,
+    )
+    valid = src_to_rank >= 0
+    d_t = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
+    d_t = jnp.where(valid[:, None], d_t, 0.0).astype(t_proto.dtype)
+    d_att_src = d_att_block.reshape(L, k, dh).astype(att_src.dtype)
+    return (d_t, d_lt.astype(lt_table.dtype), d_att_src,
+            None, None, None, None, None, None, None, None, None, None,
+            None)
+
+
+rgat_fused_pass.defvjp(_rgat_vjp_fwd, _rgat_vjp_bwd)
+
+
 # ---------------------------------------------------------------------------
 # XLA reference implementations (used by tests and as numerical oracles)
 # ---------------------------------------------------------------------------

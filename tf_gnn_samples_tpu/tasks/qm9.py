@@ -338,9 +338,14 @@ class QM9_Task(SparseGraphTask):
             float(np.sum([m.get("gate_sum", 0.0) for m in task_metric_results])) / gate_nodes
             if gate_nodes > 0 else float("nan")
         )
+        # A saturated gate alone is NOT a collapse signal: models can train
+        # through a low-gate phase with the loss already well below the
+        # constant-prediction floor (observed on QM9 GNN-Edge-MLP1, whose
+        # gate sits at ~0.005 for the first ~15 epochs while the loss
+        # improves monotonically). Flag only when the loss itself is
+        # pinned at the basin; report the gate as corroborating telemetry.
         in_band = 0.85 * floor_mean <= valid_loss <= 1.25 * max(floor_mean, floor_zero)
-        saturated = gate_mean == gate_mean and gate_mean < 0.05
-        if in_band or saturated:
+        if in_band:
             return (
                 "validation loss %.5f sits at the constant-prediction basin "
                 "(target-variance floor %.5f, zero-prediction %.5f; mean gate "
