@@ -452,10 +452,10 @@ def test_gp_epoch_composes_with_device_cache():
     task.make_minibatch_iterator = orig_iter
 
 
-def _taint_from_all_gather(jaxpr, taint=None):
+def _taint_from_all_gather(jaxpr, taint=None, collectives=("all_gather",)):
     """Walk a (possibly nested) jaxpr; return (tainted var ids, number of
-    scatter/segment-sum eqns independent of the all_gather, number
-    dependent on it)."""
+    scatter/segment-sum eqns independent of the named collective(s), number
+    dependent on them)."""
     taint = set() if taint is None else taint
     free_scatters = dep_scatters = 0
     for eqn in jaxpr.eqns:
@@ -470,7 +470,8 @@ def _taint_from_all_gather(jaxpr, taint=None):
                 id(sv) for ov, sv in zip(eqn.invars, core.invars)
                 if id(ov) in taint
             }
-            t2, f2, d2 = _taint_from_all_gather(core, inner_taint)
+            t2, f2, d2 = _taint_from_all_gather(core, inner_taint,
+                                                collectives)
             free_scatters += f2
             dep_scatters += d2
             # propagate sub outvars taint to eqn outvars
@@ -483,7 +484,7 @@ def _taint_from_all_gather(jaxpr, taint=None):
             if not isinstance(v, jax.extend.core.Literal)
         )
         name = eqn.primitive.name
-        if name in ("all_gather",):
+        if name in collectives:
             for v in eqn.outvars:
                 taint.add(id(v))
             continue
@@ -604,3 +605,188 @@ def test_gp_overlap_schedulable_all_families(layer_name, init_kwargs,
     _, free_scatters, dep_scatters = _taint_from_all_gather(jaxpr.jaxpr)
     assert free_scatters >= 1, layer_name
     assert dep_scatters >= 1, layer_name
+
+
+# ---------------------------------------------------------------------------
+# Family-complete halo exchange (GP_HALO_LAYERS + graph_parallel_halo)
+# ---------------------------------------------------------------------------
+
+_HALO_FAMILY_CASES = [
+    ("rgcn", {}, dict(activation_function="relu")),
+    ("rgcn", {"use_both_source_and_target": True},
+     dict(activation_function="relu", use_both_source_and_target=True)),
+    ("ggnn", {}, dict(gated_unit_type="gru", activation_function="tanh")),
+    ("rgat", dict(num_heads=4),
+     dict(num_heads=4, activation_function="tanh")),
+    ("gnn_film", {}, dict(activation_function="relu")),
+    ("rgin", dict(use_target_state_as_input=True,
+                  num_edge_MLP_hidden_layers=1),
+     dict(activation_function="relu", use_target_state_as_input=True,
+          num_edge_MLP_hidden_layers=1, typed_edge_scan="unroll")),
+    ("rgin", dict(num_edge_MLP_hidden_layers=None),
+     dict(activation_function="relu", num_edge_MLP_hidden_layers=None,
+          typed_edge_scan="unroll")),
+    ("gnn_edge_mlp", dict(use_target_state_as_input=True,
+                          num_edge_hidden_layers=1),
+     dict(activation_function="gelu", use_target_state_as_input=True,
+          num_edge_hidden_layers=1, normalize_by_num_incoming=True,
+          typed_edge_scan="unroll")),
+    ("rgdcn", dict(num_channels=4),
+     dict(num_channels=4, activation_function="relu",
+          typed_edge_scan="unroll")),
+]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.parametrize("layer_name,init_kwargs,apply_kwargs",
+                         _HALO_FAMILY_CASES)
+def test_gp_halo_layer_matches_single_device(layer_name, init_kwargs,
+                                             apply_kwargs, seed=7):
+    """Every halo-exchange layer (GP_HALO_LAYERS) must reproduce the
+    single-device layer on the same graph and weights."""
+    from tf_gnn_samples_tpu.nn.layers import LAYERS
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        GP_HALO_LAYERS, partition_graph_halo,
+    )
+
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=96, seed=seed)
+    n, d = feats.shape
+    L = len(adj)
+    init_fn, apply_fn = LAYERS[layer_name]
+    params = init_fn(jax.random.PRNGKey(seed), L, d, **init_kwargs)
+
+    batch = pad_graph_batch(feats, adj, np.zeros(n, np.int32), 1, n_pad=128)
+    ref = apply_fn(
+        params, jax.tree_util.tree_map(jnp.asarray, batch),
+        jnp.asarray(batch.node_features),
+        aggregation_strategy="segment", **apply_kwargs,
+    )[:n]
+
+    shards, n_local, n_global, halo_pad = partition_graph_halo(
+        feats, adj, P_DEV
+    )
+    # Per-pair boundary lists stay below the full node table (this dense
+    # random graph makes nearly every node boundary, so the aggregate
+    # saving here is vs the all-gather's L * N, not N):
+    assert halo_pad < n_global
+    mesh = make_mesh(P_DEV, axis_name="gp")
+    halo_layer = GP_HALO_LAYERS[layer_name]
+
+    def fwd(shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        out = halo_layer(params, shard, shard.node_features + 0.0, "gp",
+                         **apply_kwargs)
+        return out[None]
+
+    sharded = shard_map(
+        fwd, mesh=mesh, in_specs=(P("gp"),), out_specs=P("gp"),
+        check_vma=False,
+    )
+    out = jax.jit(sharded)(jax.tree_util.tree_map(jnp.asarray, shards))
+    out = out.reshape(n_global, d)[:n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_gp_halo_overlap_split_is_schedulable():
+    """The halo layers' LOCAL-source aggregation must have no data path
+    from the all_to_all in the traced program (the structural property
+    XLA's async collectives need to overlap the boundary exchange with
+    local compute). Trace-level verification only — device-trace overlap
+    needs real multi-chip hardware."""
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        GP_HALO_LAYERS, partition_graph_halo,
+    )
+
+    P_DEV = 4
+    feats, adj = _random_typed_graph(n=96, seed=11)
+    n, d = feats.shape
+    L = len(adj)
+    params = rgcn_init(jax.random.PRNGKey(3), L, d)
+    shards, _, _, _ = partition_graph_halo(feats, adj, P_DEV)
+    mesh = make_mesh(P_DEV, axis_name="gp")
+
+    def fwd(shard):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        out = GP_HALO_LAYERS["rgcn"](params, shard,
+                                     shard.node_features + 0.0, "gp",
+                                     activation_function="relu")
+        return out[None]
+
+    sharded = shard_map(fwd, mesh=mesh, in_specs=(P("gp"),),
+                        out_specs=P("gp"), check_vma=False)
+    jaxpr = jax.make_jaxpr(sharded)(
+        jax.tree_util.tree_map(jnp.asarray, shards)
+    )
+    _, free_scatters, dep_scatters = _taint_from_all_gather(
+        jaxpr.jaxpr, collectives=("all_to_all",)
+    )
+    assert free_scatters >= 1, "local aggregation depends on the all_to_all"
+    assert dep_scatters >= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+@pytest.mark.parametrize("model_name", ["RGCN", "GNN-FiLM", "GGNN", "RGAT",
+                                        "RGIN", "GNN-Edge-MLP1", "RGDCN"])
+def test_graph_parallel_halo_model_train(model_name, tmp_path):
+    """End-to-end: model.train with graph_parallel=2 AND
+    graph_parallel_halo runs the halo task-generic step and reduces the
+    loss — the param is first-class through _run_epoch_graph_parallel."""
+    import __graft_entry__ as ge
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name=model_name, hidden=16, n_layers=2, seed=23
+    )
+    model.params.update({
+        "graph_parallel": 2,
+        "graph_parallel_halo": True,
+        "max_epochs": 5,
+        "patience": 10,
+        "max_nodes_in_batch": 120,
+    })
+    task._loaded_data = {DataFold.TRAIN: samples,
+                         DataFold.VALIDATION: samples}
+    model.result_dir = str(tmp_path)
+    model.train(quiet=True)
+    log = open(model.log_file).read()
+    import re as re_mod
+
+    losses = [float(m) for m in re_mod.findall(r"Train: loss: ([0-9.]+)", log)]
+    assert len(losses) == 5
+    assert min(losses[1:]) < losses[0], losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+def test_graph_parallel_halo_matches_single_device_step():
+    """One halo GP eval step must match the single-device step's loss on
+    the same batch (same params, no dropout)."""
+    import __graft_entry__ as ge
+    from tf_gnn_samples_tpu.ops.graph import bucket_size
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        make_gp_task_steps, partition_task_batch_halo,
+    )
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+
+    model, task, samples = ge._tiny_task_and_model(
+        model_name="GNN-FiLM", hidden=16, n_layers=2, seed=24
+    )
+    batch = next(iter(task.make_minibatch_iterator(
+        samples, DataFold.VALIDATION, 200)))
+    dev_batch = model._device_batch(batch)
+    _, ref_metrics = model._forward(model.model_params_tree, dev_batch, None)
+
+    mesh = make_mesh(2, axis_name="gp")
+    _, gp_eval = make_gp_task_steps(model, mesh)
+    e_pad_total = bucket_size(
+        sum(e.senders.shape[0] for e in batch.graph.edges), min_size=64
+    )
+    shards, _, _, _ = partition_task_batch_halo(
+        batch, 2, batch.graph.n_pad, e_pad_total
+    )
+    gp_metrics = gp_eval(model.model_params_tree, dev_batch,
+                         jax.tree_util.tree_map(jnp.asarray, shards))
+    np.testing.assert_allclose(float(gp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-4)

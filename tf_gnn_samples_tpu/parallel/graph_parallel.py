@@ -23,8 +23,14 @@ scales 1/P; node-state memory scales 1/P, which is what lets a graph too
 big for one chip's HBM train at all. `make_gp_task_steps` + `partition_task_batch` integrate this
 with the model runtime: set model param `graph_parallel: P` (the task's
 input/output models run replicated on the padded batch; only the
-propagation is sharded). A halo-exchange variant (boundary features only,
-one all_to_all per layer) exists for RGCN and GNN-FiLM.
+propagation is sharded). The halo-exchange variant (GP_HALO_LAYERS —
+boundary features only, one all_to_all per layer, communication
+independent of the number of edge types) covers the SAME seven families
+and is selected with model param `graph_parallel_halo: true`. Both
+variants carry the source-ownership edge split so local-source
+aggregation has no data path from the collective (jaxpr-taint-asserted;
+actual on-device overlap of the async collective with compute is
+trace-unverified until real multi-chip hardware is available).
 """
 
 from typing import Any, List, NamedTuple, Tuple
@@ -361,7 +367,15 @@ class GPHaloShard(NamedTuple):
     an EXTENDED local table [n_local + P * halo_pad] = own rows followed by
     the all_to_all receive buffer (grouped by source device); the exchange
     moves only boundary features — P * halo_pad * D per layer instead of
-    the all-gather's L * N * D."""
+    the all-gather's L * N * D.
+
+    flat_local / flat_remote split the same edges by source ownership (the
+    GPShard overlap structure): flat_local's senders index the device's
+    OWN table (type * n_local + local_sender) and its targets the local
+    table — no data path from the all_to_all, so XLA overlaps the boundary
+    exchange with the local-source message work. flat_remote's senders
+    index the HALO receive buffer (type * (P * halo_pad) + halo_slot); its
+    targets are still in LOCAL table space (receivers always local)."""
 
     node_features: jnp.ndarray  # [Nl, F]
     node_mask: jnp.ndarray  # [Nl]
@@ -373,12 +387,16 @@ class GPHaloShard(NamedTuple):
     perm_by_src: jnp.ndarray  # [E_dev]
     perm_by_tgt: jnp.ndarray  # [E_dev] (receivers are sorted; identity ok)
     tgt_flat: jnp.ndarray  # [E_dev] int32: type * n_ext + local receiver
+    flat_local: GPFlatEdges = None  # senders AND targets in local space
+    flat_remote: GPFlatEdges = None  # senders in halo space, targets local
 
 
 def partition_graph_halo(node_features, adjacency_lists, num_devices,
-                         typed_incoming_counts=None):
+                         typed_incoming_counts=None, e_pad=None,
+                         halo_pad=None):
     """Partition with per-pair halo lists (static halo_pad = max boundary
-    set over device pairs, bucketed)."""
+    set over device pairs, bucketed; both pads overridable for fold-static
+    shapes, see partition_task_batch_halo)."""
     L = len(adjacency_lists)
     small = 1e-7
     (n_local, n_global, typed_incoming_counts, per_dev_edges,
@@ -399,17 +417,20 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
                 continue
             need[q][p] = np.unique(snds[src_dev == p])
 
-    halo_pad = bucket_size(
-        max(max((len(need[q][p]) for q in range(num_devices)
-                 for p in range(num_devices)), default=1), 1),
-        min_size=8,
-    )
-    e_pad = bucket_size(
-        max(max((sum(a.shape[0] for _, a in d) for d in per_dev_edges),
-                default=1), 1),
-        min_size=64,
-    )
+    if halo_pad is None:
+        halo_pad = bucket_size(
+            max(max((len(need[q][p]) for q in range(num_devices)
+                     for p in range(num_devices)), default=1), 1),
+            min_size=8,
+        )
+    if e_pad is None:
+        e_pad = bucket_size(
+            max(max((sum(a.shape[0] for _, a in d) for d in per_dev_edges),
+                    default=1), 1),
+            min_size=64,
+        )
     n_ext = n_local + num_devices * halo_pad
+    n_halo = num_devices * halo_pad
 
     shards = []
     for q in range(num_devices):
@@ -428,6 +449,7 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
         msk = np.zeros((e_pad,), np.float32)
         nrm = np.zeros((e_pad,), np.float32)
         off = 0
+        loc_tuples, rem_tuples = [], []
         for l, adj in per_dev_edges[q]:
             k = adj.shape[0]
             loc = adj[:, 0] - lo
@@ -450,16 +472,54 @@ def partition_graph_halo(node_features, adjacency_lists, num_devices,
             msk[off:off + k] = 1.0
             nrm[off:off + k] = 1.0 / (typed_incoming_counts[l][adj[:, 1]] + small)
             off += k
+            # Source-ownership split (overlap structure): local senders in
+            # LOCAL table space, remote senders in HALO-buffer space.
+            if is_local.any():
+                loc_tuples.append((
+                    l, loc[is_local], adj[is_local, 1] - lo,
+                    1.0 / (typed_incoming_counts[l][adj[is_local, 1]] + small),
+                ))
+            if (~is_local).any():
+                rem_tuples.append((
+                    l, ext[~is_local] - n_local, adj[~is_local, 1] - lo,
+                    1.0 / (typed_incoming_counts[l][adj[~is_local, 1]] + small),
+                ))
         order = np.argsort(rcv, kind="stable")
         src, tgt, rcv, msk, nrm = (
             src[order], tgt[order], rcv[order], msk[order], nrm[order]
         )
+
+        def build_split(tuples, src_rows):
+            s = np.full((e_pad,), L * src_rows, np.int32)
+            t = np.full((e_pad,), L * n_local, np.int32)
+            r = np.full((e_pad,), n_local, np.int32)
+            m = np.zeros((e_pad,), np.float32)
+            nr = np.zeros((e_pad,), np.float32)
+            o = 0
+            for l, senders, receivers, norms in tuples:
+                k2 = len(senders)
+                s[o:o + k2] = l * src_rows + senders
+                t[o:o + k2] = l * n_local + receivers
+                r[o:o + k2] = receivers
+                m[o:o + k2] = 1.0
+                nr[o:o + k2] = norms
+                o += k2
+            ordr = np.argsort(r, kind="stable")
+            s, t, r, m, nr = s[ordr], t[ordr], r[ordr], m[ordr], nr[ordr]
+            return GPFlatEdges(
+                src_flat=s, receivers=r, tgt_flat=t, mask=m, norm_scale=nr,
+                perm_by_src=np.argsort(s, kind="stable").astype(np.int32),
+                perm_by_tgt=np.argsort(t, kind="stable").astype(np.int32),
+            )
+
         shards.append(GPHaloShard(
             node_features=feats[q], node_mask=masks[q], send_idx=send_idx,
             src_ext=src, receivers=rcv, mask=msk, norm_scale=nrm,
             perm_by_src=np.argsort(src, kind="stable").astype(np.int32),
             perm_by_tgt=np.argsort(tgt, kind="stable").astype(np.int32),
             tgt_flat=tgt,
+            flat_local=build_split(loc_tuples, n_local),
+            flat_remote=build_split(rem_tuples, n_halo),
         ))
     stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shards)
     return stacked, n_local, n_global, halo_pad
@@ -795,6 +855,407 @@ def gp_film_halo_layer(gnn_params, shard: GPHaloShard, h_local,
     return h_local
 
 
+# ---------------------------------------------------------------------------
+# Family-complete halo-exchange layers (boundary features only, one
+# all_to_all per timestep — the BASELINE north-star pattern: "exchanging
+# boundary node features all-to-all over ICI overlapped with local
+# aggregation"). Every layer consumes the GPHaloShard's source-ownership
+# split: the local-source stream reads tables derived from h_local only
+# (no data path from the all_to_all, asserted by the jaxpr taint test), so
+# XLA's async collectives overlap the boundary exchange with it.
+# ---------------------------------------------------------------------------
+
+
+def _halo_rows(shard: GPHaloShard, h_local, axis_name: str):
+    """Boundary rows from every peer: ONE all_to_all of [P, halo_pad, D]
+    over ICI. Returns the halo receive buffer [P * halo_pad, D] grouped by
+    source device (the space flat_remote's senders index)."""
+    send = jnp.take(h_local, shard.send_idx, axis=0)  # [P, halo_pad, D]
+    halo = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=False
+    )
+    return halo.reshape(-1, h_local.shape[-1])
+
+
+def _take_rcv(table, flat_s, n_local: int):
+    """Per-edge row of a receiver-indexed [n_local (+1), D] table; padded
+    edges (receiver == n_local) read the appended zero/neg row."""
+    return jnp.take(table, jnp.minimum(flat_s.receivers, table.shape[0] - 1),
+                    axis=0)
+
+
+def _segment_softmax_split(logits_loc, fl, logits_rem, fr, n_local: int):
+    """Receiver-segment softmax jointly over BOTH edge streams (attention
+    normalizes over ALL incoming edges of a receiver regardless of which
+    stream carries them). Mirrors edge_ops.segment_softmax_flat."""
+    neg = jnp.finfo(logits_loc.dtype).min
+    masked_loc = jnp.where(fl.mask[:, None] > 0, logits_loc, neg)
+    masked_rem = jnp.where(fr.mask[:, None] > 0, logits_rem, neg)
+    gmax = jnp.maximum(
+        jax.ops.segment_max(masked_loc, fl.receivers, n_local + 1,
+                            indices_are_sorted=True),
+        jax.ops.segment_max(masked_rem, fr.receivers, n_local + 1,
+                            indices_are_sorted=True),
+    )
+    gmax = jnp.maximum(gmax, neg)
+    ex_loc = jnp.exp(masked_loc - _take_rcv(gmax, fl, n_local)) * fl.mask[:, None]
+    ex_rem = jnp.exp(masked_rem - _take_rcv(gmax, fr, n_local)) * fr.mask[:, None]
+    denom = (
+        jax.ops.segment_sum(ex_loc, fl.receivers, n_local + 1,
+                            indices_are_sorted=True)
+        + jax.ops.segment_sum(ex_rem, fr.receivers, n_local + 1,
+                              indices_are_sorted=True)
+    )
+    small = 1e-7  # SMALL_NUMBER
+    return (ex_loc / (_take_rcv(denom, fl, n_local) + small),
+            ex_rem / (_take_rcv(denom, fr, n_local) + small))
+
+
+def gp_halo_rgcn_layer_kw(gnn_params, shard: GPHaloShard, h_local,
+                          axis_name: str, *, num_timesteps=1,
+                          activation_function="tanh",
+                          message_aggregation_function="sum",
+                          normalize_by_num_incoming=True,
+                          use_both_source_and_target=False, **_):
+    """RGCN over the halo partition (reference: gnns/rgcn.py:8-115):
+    boundary exchange -> typed transform of own + halo rows -> split
+    gather/aggregate. Communication is independent of the number of edge
+    types (P * halo_pad * D per timestep)."""
+    from ..nn.activations import get_activation
+
+    act = get_activation(activation_function)
+    n_local, d = h_local.shape
+    W = gnn_params["W"]
+    fl, fr = shard.flat_local, shard.flat_remote
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+        W_src = W[:, :d, :] if use_both_source_and_target else W
+        t_loc = jnp.einsum("nd,lde->lne", h_local, W_src,
+                           preferred_element_type=jnp.float32)
+        t_halo = jnp.einsum("nd,lde->lne", halo, W_src,
+                            preferred_element_type=jnp.float32)
+        L, _, D = t_loc.shape
+        msgs_loc = gather_flat_src(t_loc.reshape(L * n_local, D), fl)
+        msgs_rem = gather_flat_src(t_halo.reshape(-1, D), fr)
+        if use_both_source_and_target:
+            t_tgt = jnp.einsum("nd,lde->lne", h_local, W[:, d:, :],
+                               preferred_element_type=jnp.float32)
+            tgt_table = t_tgt.reshape(L * n_local, D)
+            msgs_loc = msgs_loc + gather_flat_tgt(tgt_table, fl)
+            msgs_rem = msgs_rem + gather_flat_tgt(tgt_table, fr)
+        if normalize_by_num_incoming:
+            msgs_loc = msgs_loc * fl.norm_scale[:, None]
+            msgs_rem = msgs_rem * fr.norm_scale[:, None]
+        h_local = act(_aggregate_split(msgs_loc, fl, msgs_rem, fr, n_local,
+                                       message_aggregation_function))
+    return h_local
+
+
+def gp_halo_ggnn_layer(gnn_params, shard: GPHaloShard, h_local,
+                       axis_name: str, *, num_timesteps=1,
+                       gated_unit_type="gru", activation_function="tanh",
+                       message_aggregation_function="sum", **_):
+    """GGNN over the halo partition (gnns/ggnn.py:92 — messages as cell
+    INPUT; the RNN update is per-node local)."""
+    from ..nn.cells import cell_apply
+
+    n_local = h_local.shape[0]
+    fl, fr = shard.flat_local, shard.flat_remote
+    c = None
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+        t_loc = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
+                           preferred_element_type=jnp.float32)
+        t_halo = jnp.einsum("nd,lde->lne", halo, gnn_params["W"],
+                            preferred_element_type=jnp.float32)
+        L, _, D = t_loc.shape
+        msgs_loc = gather_flat_src(t_loc.reshape(L * n_local, D), fl)
+        msgs_rem = gather_flat_src(t_halo.reshape(-1, D), fr)
+        agg = _aggregate_split(msgs_loc, fl, msgs_rem, fr, n_local,
+                               message_aggregation_function)
+        h_local, c = cell_apply(gnn_params["cell"], gated_unit_type, agg,
+                                h_local, activation_function, c)
+    return h_local
+
+
+def gp_halo_rgat_layer(gnn_params, shard: GPHaloShard, h_local,
+                       axis_name: str, *, num_timesteps=1, num_heads=4,
+                       activation_function="tanh", **_):
+    """RGAT over the halo partition (gnns/rgat.py:95-138): attention logit
+    halves node-sided on the own/halo typed tables (the target half is
+    always local); the per-(receiver, head) softmax normalizes jointly
+    over both streams."""
+    from ..nn.activations import get_activation
+
+    act = get_activation(activation_function)
+    n_local, state_dim = h_local.shape
+    head_dim = state_dim // num_heads
+    att = gnn_params["att"].reshape(-1, num_heads, 2 * head_dim)
+    att_src, att_tgt = att[..., :head_dim], att[..., head_dim:]
+    fl, fr = shard.flat_local, shard.flat_remote
+
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+        t_loc = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
+                           preferred_element_type=jnp.float32)
+        t_halo = jnp.einsum("nd,lde->lne", halo, gnn_params["W"],
+                            preferred_element_type=jnp.float32)
+        L = t_loc.shape[0]
+        th_loc = t_loc.reshape(L, n_local, num_heads, head_dim)
+        th_halo = t_halo.reshape(L, -1, num_heads, head_dim)
+        ls_loc = jnp.einsum("lnkd,lkd->lnk", th_loc, att_src)
+        ls_halo = jnp.einsum("lnkd,lkd->lnk", th_halo, att_src)
+        lt_loc = jnp.einsum("lnkd,lkd->lnk", th_loc, att_tgt)
+
+        def edge_logits(flat_s, ls_table):
+            return jax.nn.leaky_relu(
+                jnp.take(ls_table, flat_s.src_flat, axis=0, mode="clip")
+                + jnp.take(lt_loc.reshape(L * n_local, num_heads),
+                           flat_s.tgt_flat, axis=0, mode="clip"),
+                negative_slope=0.2,
+            )
+
+        logits_loc = edge_logits(fl, ls_loc.reshape(L * n_local, num_heads))
+        logits_rem = edge_logits(fr, ls_halo.reshape(-1, num_heads))
+        attn_loc, attn_rem = _segment_softmax_split(
+            logits_loc, fl, logits_rem, fr, n_local
+        )
+        m_loc = gather_flat_src(t_loc.reshape(L * n_local, state_dim), fl)
+        m_rem = gather_flat_src(t_halo.reshape(-1, state_dim), fr)
+        w_loc = (m_loc.reshape(-1, num_heads, head_dim)
+                 * attn_loc[..., None]).reshape(-1, state_dim)
+        w_rem = (m_rem.reshape(-1, num_heads, head_dim)
+                 * attn_rem[..., None]).reshape(-1, state_dim)
+        agg = _aggregate_split(w_loc, fl, w_rem, fr, n_local, "sum")
+        h_local = act(agg)
+    return h_local
+
+
+def gp_halo_film_layer_kw(gnn_params, shard: GPHaloShard, h_local,
+                          axis_name: str, *, num_timesteps=1,
+                          activation_function="relu",
+                          message_aggregation_function="sum",
+                          normalize_by_num_incoming=False, **_):
+    """GNN-FiLM over the halo partition (gnns/gnn_film.py:94-120):
+    gamma/beta come from the LOCAL film table (targets are always local),
+    so only the message transform touches halo rows."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+
+    act = get_activation(activation_function)
+    n_local, d = h_local.shape
+    fl, fr = shard.flat_local, shard.flat_remote
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+        t_loc = jnp.einsum("nd,lde->lne", h_local, gnn_params["W"],
+                           preferred_element_type=jnp.float32)
+        t_halo = jnp.einsum("nd,lde->lne", halo, gnn_params["W"],
+                            preferred_element_type=jnp.float32)
+        f_loc = jnp.einsum("nd,lde->lne", h_local, gnn_params["W_film"],
+                           preferred_element_type=jnp.float32)
+        L = t_loc.shape[0]
+        f_table = f_loc.reshape(L * n_local, 2 * d)
+        msgs_loc = gather_flat_src(t_loc.reshape(L * n_local, d), fl)
+        msgs_rem = gather_flat_src(t_halo.reshape(-1, d), fr)
+        if normalize_by_num_incoming:
+            msgs_loc = msgs_loc * fl.norm_scale[:, None]
+            msgs_rem = msgs_rem * fr.norm_scale[:, None]
+        gb_loc = gather_flat_tgt(f_table, fl)
+        gb_rem = gather_flat_tgt(f_table, fr)
+        msgs_loc = act(gb_loc[:, :d] * msgs_loc + gb_loc[:, d:])
+        msgs_rem = act(gb_rem[:, :d] * msgs_rem + gb_rem[:, d:])
+        agg = _aggregate_split(msgs_loc, fl, msgs_rem, fr, n_local,
+                               message_aggregation_function)
+        h_local = layer_norm(gnn_params["ln"], agg)
+    return h_local
+
+
+def _halo_typed_mlp_messages(weights, shard: GPHaloShard, h_local, halo,
+                             concat_target: bool, inner_act):
+    """Per-edge typed-MLP messages over the halo partition (the halo twin
+    of _gp_typed_mlp_messages): the first (linear) MLP layer is node-sided
+    on the own/halo tables (target halves always local); later layers run
+    per-edge as type-masked matmuls per stream."""
+    W0 = weights[0]
+    d = h_local.shape[-1]
+    n_local = h_local.shape[0]
+    n_halo = halo.shape[0]
+    fl, fr = shard.flat_local, shard.flat_remote
+    L = W0.shape[0]
+
+    if concat_target:
+        ts_l = jnp.einsum("nd,lde->lne", h_local, W0[:, :d, :],
+                          preferred_element_type=jnp.float32)
+        ts_h = jnp.einsum("nd,lde->lne", halo, W0[:, :d, :],
+                          preferred_element_type=jnp.float32)
+        tt_l = jnp.einsum("nd,lde->lne", h_local, W0[:, d:, :],
+                          preferred_element_type=jnp.float32)
+        D = ts_l.shape[-1]
+        tt_table = tt_l.reshape(L * n_local, D)
+        m_loc = (gather_flat_src(ts_l.reshape(L * n_local, D), fl)
+                 + gather_flat_tgt(tt_table, fl))
+        m_rem = (gather_flat_src(ts_h.reshape(L * n_halo, D), fr)
+                 + gather_flat_tgt(tt_table, fr))
+    else:
+        t_l = jnp.einsum("nd,lde->lne", h_local, W0,
+                         preferred_element_type=jnp.float32)
+        t_h = jnp.einsum("nd,lde->lne", halo, W0,
+                         preferred_element_type=jnp.float32)
+        D = t_l.shape[-1]
+        m_loc = gather_flat_src(t_l.reshape(L * n_local, D), fl)
+        m_rem = gather_flat_src(t_h.reshape(L * n_halo, D), fr)
+
+    et_loc = jnp.minimum(fl.src_flat // n_local, L)
+    et_rem = jnp.minimum(fr.src_flat // n_halo, L)
+    m_loc = _typed_mlp_tail(m_loc, et_loc, weights, inner_act, L)
+    m_rem = _typed_mlp_tail(m_rem, et_rem, weights, inner_act, L)
+    return (m_loc, fl), (m_rem, fr)
+
+
+def gp_halo_rgin_layer(gnn_params, shard: GPHaloShard, h_local,
+                       axis_name: str, *, num_timesteps=1,
+                       activation_function="relu",
+                       message_aggregation_function="sum",
+                       use_target_state_as_input=False,
+                       num_edge_MLP_hidden_layers=1,
+                       num_aggr_MLP_hidden_layers=None, **_):
+    """RGIN over the halo partition (gnns/rgin.py:77-139)."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    fl, fr = shard.flat_local, shard.flat_remote
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+        if num_edge_MLP_hidden_layers is not None:
+            loc, rem = _halo_typed_mlp_messages(
+                gnn_params["edge_mlp"], shard, h_local, halo,
+                use_target_state_as_input, act,
+            )
+            agg = _aggregate_split(
+                act(loc[0]), loc[1], act(rem[0]), rem[1], n_local,
+                message_aggregation_function,
+            )
+        else:
+            # Raw source states as messages (rgin.py:121-124).
+            n_halo = halo.shape[0]
+            m_loc = jnp.take(h_local, fl.src_flat % n_local, axis=0,
+                             mode="clip") * fl.mask[:, None]
+            m_rem = jnp.take(halo, fr.src_flat % n_halo, axis=0,
+                             mode="clip") * fr.mask[:, None]
+            agg = _aggregate_split(m_loc, fl, m_rem, fr, n_local,
+                                   message_aggregation_function)
+        if num_aggr_MLP_hidden_layers is not None:
+            from ..nn.mlp import mlp_apply
+
+            agg = mlp_apply(gnn_params["aggr_mlp"], agg, act)
+        h_local = layer_norm(gnn_params["ln"], act(agg))
+    return h_local
+
+
+def gp_halo_gnn_edge_mlp_layer(gnn_params, shard: GPHaloShard, h_local,
+                               axis_name: str, *, num_timesteps=1,
+                               activation_function="relu",
+                               message_aggregation_function="sum",
+                               normalize_by_num_incoming=False,
+                               use_target_state_as_input=True,
+                               num_edge_hidden_layers=1, **_):
+    """GNN-Edge-MLP over the halo partition (gnns/gnn_edge_mlp.py:73-119)."""
+    from ..nn.activations import get_activation
+    from ..nn.normalization import layer_norm
+
+    act = get_activation(activation_function)
+    elu = get_activation("elu")
+    n_local = h_local.shape[0]
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+        loc, rem = _halo_typed_mlp_messages(
+            gnn_params["edge_mlp"], shard, h_local, halo,
+            use_target_state_as_input, elu,
+        )
+
+        def finalize(m, flat_s):
+            if normalize_by_num_incoming:
+                m = m * flat_s.norm_scale[:, None]
+            return act(m)  # activation on messages (gnn_edge_mlp.py:112)
+
+        agg = _aggregate_split(
+            finalize(*loc), loc[1], finalize(*rem), rem[1], n_local,
+            message_aggregation_function,
+        )
+        h_local = layer_norm(gnn_params["ln"], agg)
+    return h_local
+
+
+def gp_halo_rgdcn_layer(gnn_params, shard: GPHaloShard, h_local,
+                        axis_name: str, *, num_timesteps=1, num_channels=8,
+                        channel_dim=None,
+                        use_full_state_for_channel_weights=False,
+                        tie_channel_weights=False,
+                        activation_function="relu",
+                        message_aggregation_function="sum",
+                        normalize_by_num_incoming=True, **_):
+    """RGDCN over the halo partition, aggregate-first (see gp_rgdcn_layer):
+    per-(type, local receiver) neighbor sums of raw own/halo states, then
+    node-LOCAL dynamic-kernel contractions."""
+    from ..nn.activations import get_activation
+    from ..nn.layers import _rgdcn_type_contraction
+
+    if message_aggregation_function not in ("sum", "unsorted_segment_sum"):
+        raise ValueError(
+            "graph-parallel RGDCN supports sum aggregation, got %r"
+            % message_aggregation_function
+        )
+    act = get_activation(activation_function)
+    n_local = h_local.shape[0]
+    W_wc = gnn_params["W_wc"]
+    L = W_wc.shape[0]
+    if channel_dim is None:
+        channel_dim = h_local.shape[-1] // num_channels
+    fl, fr = shard.flat_local, shard.flat_remote
+    for _ in range(num_timesteps):
+        halo = _halo_rows(shard, h_local, axis_name)
+
+        def typed_sums(h_table, flat_s, table_rows):
+            m = jnp.take(h_table, flat_s.src_flat % table_rows, axis=0,
+                         mode="clip")
+            if normalize_by_num_incoming:
+                m = m * flat_s.norm_scale[:, None]
+            else:
+                m = m * flat_s.mask[:, None]
+            et = jnp.minimum(flat_s.src_flat // table_rows, L)
+            seg = (et * (n_local + 1)
+                   + jnp.minimum(flat_s.receivers, n_local))
+            S = jax.ops.segment_sum(m, seg, (L + 1) * (n_local + 1))
+            return S.reshape(L + 1, n_local + 1, -1)[:L, :n_local]
+
+        S = (typed_sums(h_local, fl, n_local)
+             + typed_sums(halo, fr, halo.shape[0]))
+        h_chunked = h_local.reshape(n_local, num_channels, channel_dim)
+        S_chunk = S.reshape(L, n_local, num_channels, channel_dim)
+        out = None
+        for l in range(L):
+            part = _rgdcn_type_contraction(
+                h_local, h_chunked, S_chunk[l], W_wc[l], act, channel_dim,
+                use_full_state_for_channel_weights, tie_channel_weights,
+            )
+            out = part if out is None else out + part
+        h_local = act(out).reshape(n_local, num_channels * channel_dim)
+    return h_local
+
+
+GP_HALO_LAYERS = {
+    "rgcn": gp_halo_rgcn_layer_kw,
+    "gnn_film": gp_halo_film_layer_kw,
+    "ggnn": gp_halo_ggnn_layer,
+    "rgat": gp_halo_rgat_layer,
+    "rgin": gp_halo_rgin_layer,
+    "gnn_edge_mlp": gp_halo_gnn_edge_mlp_layer,
+    "rgdcn": gp_halo_rgdcn_layer,
+}
+
+
 def _local_tgt_view(flat_s: GPFlatEdges, n_local: int, table_rows: int,
                     L: int) -> GPFlatEdges:
     """Re-express a stream's tgt indices in the LOCAL table space
@@ -1071,12 +1532,14 @@ def gp_propagation_apply(prop_params, model_params, shard: GPShard, h_local,
     from ..nn.activations import get_activation
     from ..nn.normalization import layer_norm
 
-    if layer_name not in GP_LAYERS:
+    registry = (GP_HALO_LAYERS if isinstance(shard, GPHaloShard)
+                else GP_LAYERS)
+    if layer_name not in registry:
         raise ValueError(
             "graph_parallel supports %s; got %r"
-            % (sorted(GP_LAYERS), layer_name)
+            % (sorted(registry), layer_name)
         )
-    gp_layer = GP_LAYERS[layer_name]
+    gp_layer = registry[layer_name]
     act = get_activation(model_params["graph_model_activation_function"])
     keep_prob = model_params["graph_layer_input_dropout_keep_prob"]
     residual_every = model_params["graph_residual_connection_every_num_layers"]
@@ -1171,6 +1634,32 @@ def partition_task_batch(batch, num_partitions: int, n_pad_target: int,
             flat_remote=repad_flat(stacked.flat_remote, n_global),
         )
     return stacked, n_local, n_global
+
+
+def partition_task_batch_halo(batch, num_partitions: int, n_pad_target: int,
+                              e_pad_total: int, halo_pad_target: int = None):
+    """Halo-exchange twin of partition_task_batch: partitions one padded
+    TaskBatch's mega-graph into GPHaloShards. e_pad is fold-bucketed by the
+    caller; halo_pad is measured per batch and bucketed (shape-stable
+    across batches of similar boundary size) unless pinned by the caller."""
+    g = batch.graph
+    n = int(batch.num_nodes)
+    feats = np.asarray(g.node_features)[:n]
+    adj = []
+    for e in g.edges:
+        sel = np.asarray(e.mask) > 0
+        adj.append(np.stack(
+            [np.asarray(e.senders)[sel], np.asarray(e.receivers)[sel]],
+            axis=1,
+        ).astype(np.int64))
+    feats_padded = np.zeros((n_pad_target, feats.shape[1]), np.float32)
+    feats_padded[:n] = feats
+    counts = np.asarray(g.typed_incoming_counts)[:, :n_pad_target]
+    stacked, n_local, n_global, halo_pad = partition_graph_halo(
+        feats_padded, adj, num_partitions, typed_incoming_counts=counts,
+        e_pad=e_pad_total, halo_pad=halo_pad_target,
+    )
+    return stacked, n_local, n_global, halo_pad
 
 
 def make_gp_task_steps(model, mesh: Mesh, axis_name: str = "gp"):

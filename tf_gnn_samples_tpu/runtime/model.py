@@ -152,6 +152,14 @@ class SparseGraphModel(ABC):
             # replicated on the padded batch, so every task works
             # unchanged. See parallel/graph_parallel.py.
             "graph_parallel": 1,
+            # With graph_parallel > 1: exchange only BOUNDARY node features
+            # per layer (one all_to_all of [P, halo_pad, D] over ICI,
+            # overlapped with local-source aggregation) instead of
+            # all-gathering the full typed tables. Communication becomes
+            # independent of the number of edge types and proportional to
+            # the partition cut. All 7 layer families supported
+            # (parallel/graph_parallel.py GP_HALO_LAYERS).
+            "graph_parallel_halo": False,
             # TPU-native extension: jax.checkpoint each GNN layer so the
             # backward pass recomputes per-edge activations instead of
             # holding them — trades one extra forward for O(layers * E * D)
@@ -1013,12 +1021,14 @@ class SparseGraphModel(ABC):
         from ..parallel.graph_parallel import (
             make_gp_task_steps,
             partition_task_batch,
+            partition_task_batch_halo,
         )
 
         if self._gp_steps is None:
             mesh = make_mesh(num_partitions, axis_name="gp")
             self._gp_steps = make_gp_task_steps(self, mesh)
         gp_train, gp_eval = self._gp_steps
+        use_halo = bool(self.params.get("graph_parallel_halo"))
 
         start_time = time.time()
         processed_graphs = processed_nodes = processed_edges = 0
@@ -1074,9 +1084,16 @@ class SparseGraphModel(ABC):
                     sum(e.senders.shape[0] for e in batch.graph.edges),
                     min_size=64,
                 )
-                shards, _, _ = partition_task_batch(
-                    batch, num_partitions, batch.graph.n_pad, e_pad_total
-                )
+                if use_halo:
+                    shards, _, _, _ = partition_task_batch_halo(
+                        batch, num_partitions, batch.graph.n_pad,
+                        e_pad_total,
+                    )
+                else:
+                    shards, _, _ = partition_task_batch(
+                        batch, num_partitions, batch.graph.n_pad,
+                        e_pad_total,
+                    )
                 shards = jax.tree_util.tree_map(jnp.asarray, shards)
                 dev_batch = self._device_batch(batch)
                 if cache_on:
