@@ -866,3 +866,58 @@ def test_rgat_fused_pass_matches_unfused_streamed(monkeypatch):
         # magnitudes here are ~20; observed max abs deviation ~0.035).
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-2, atol=1e-1)
+
+
+def test_edge_mlp1_src_recompute_bwd_matches(monkeypatch):
+    """The GNN-Edge-MLP1 src-order recompute backward (emlp1_tm_pass)
+    must match the path that permutes the [E, D] cotangent through the
+    generic type-major gather VJP — forward exactly (identical op
+    pipeline), gradients to bf16 side-table tolerance."""
+    from tf_gnn_samples_tpu.nn.layers import (gnn_edge_mlp_apply,
+                                              gnn_edge_mlp_init)
+
+    rng = np.random.RandomState(31)
+    graph = _random_graph_batch(rng)
+    d = 64
+    params = gnn_edge_mlp_init(jax.random.PRNGKey(13), 2, d,
+                               use_target_state_as_input=True,
+                               num_edge_hidden_layers=1)
+
+    def run(p, hh):
+        return gnn_edge_mlp_apply(p, graph, hh,
+                                  activation_function="gelu",
+                                  use_target_state_as_input=True,
+                                  num_edge_hidden_layers=1,
+                                  typed_edge_scan="auto")
+
+    h = jnp.asarray(rng.randn(graph.n_pad, d).astype(np.float32))
+
+    calls = {"n": 0}
+    orig = rs.emlp1_tm_pass
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rs, "emlp1_tm_pass", spy)
+    out_fused = run(params, h)
+    g_fused = jax.grad(
+        lambda p, hh: jnp.sum((run(p, hh) * graph.node_mask[:, None]) ** 2),
+        argnums=(0, 1),
+    )(params, h)
+    assert calls["n"] >= 1, "fused src path not taken"
+
+    monkeypatch.setattr(rs, "emlp1_src_supported", lambda *a, **k: False)
+    out_unfused = run(params, h)
+    g_unfused = jax.grad(
+        lambda p, hh: jnp.sum((run(p, hh) * graph.node_mask[:, None]) ** 2),
+        argnums=(0, 1),
+    )(params, h)
+
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_unfused),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_unfused),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-2, atol=1e-1)

@@ -900,15 +900,6 @@ def gnn_edge_mlp_apply(
             win_tm = _tm1_win()
             self_types = tm_self_types(graph)
             beta = take_by_tm_rank(_flat(tt), graph)  # [RPAD, D]
-            m = gather_tm_src(
-                _flat(ts).astype(jnp.bfloat16), graph
-            )  # [E, D] bf16, streaming-ranked VJP
-            # One fused pass: x = elu(m + beta[rank]) with beta expanded
-            # in-VMEM; the VJP recovers elu' from x itself (no [E, D]
-            # beta stream or activation residuals in HBM).
-            x = rs.expand_add_act(
-                m, beta, flat_g.tm_rank, "elu", 256, win_tm
-            )
             offs = np.cumsum(
                 [0] + [e.senders.shape[0] for e in graph.edges]
             )
@@ -926,8 +917,44 @@ def gnn_edge_mlp_apply(
                 if not self_types[l]
             )
             act_name1 = activation_function.lower()
+            n_nonself = sum(1 for s in self_types if not s)
+            fused_src1 = (
+                aligned
+                and getattr(flat_g, "tm_rank_by_src", None) is not None
+                and getattr(flat_g, "src_from_rank", None) is not None
+                and rs.emlp1_src_supported(
+                    act_name1, flat_g.tm_rank.shape[0], d0, n_nonself,
+                    tm_fine_rows, flat_g.src_from_rank.shape[0],
+                )
+            )
+            if not fused_src1:
+                m = gather_tm_src(
+                    _flat(ts).astype(jnp.bfloat16), graph
+                )  # [E, D] bf16, streaming-ranked VJP
+                # One fused pass: x = elu(m + beta[rank]) with beta
+                # expanded in-VMEM; the VJP recovers elu' from x itself
+                # (no [E, D] beta stream or activation residuals in HBM).
+                x = rs.expand_add_act(
+                    m, beta, flat_g.tm_rank, "elu", 256, win_tm
+                )
             table = jnp.zeros((tm_fine_rows, d0), jnp.float32)
-            if aligned:
+            if fused_src1:
+                # Fused custom-VJP pass: identical forward pipeline, but
+                # the backward recomputes the message cotangent in source
+                # order from small tables instead of permuting the [E, D]
+                # stream (ops/ranked_segment.emlp1_tm_pass). Note the op
+                # consumes ts (not the gathered m), so the expand_add_act
+                # + matmuls + aggregation all live inside it.
+                table = rs.emlp1_tm_pass(
+                    _flat(ts), beta, W1, flat_g.tm_src_flat,
+                    flat_g.tm_rank, flat_g.tm_rank_by_src,
+                    flat_g.src_sorted_rank, flat_g.src_to_rank,
+                    flat_g.src_from_rank, flat_g.mask,
+                    tuple(int(o) for o in offs), tuple(self_types),
+                    act_name1, graph.n_pad, tm_fine_rows, 256, win_tm,
+                    token_window(flat_g.win_src),
+                )
+            elif aligned:
                 for l in range(graph.num_edge_types):
                     if self_types[l]:
                         continue

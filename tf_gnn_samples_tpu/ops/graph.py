@@ -153,6 +153,10 @@ class FlatEdges(NamedTuple):
     tm_src_flat: jnp.ndarray = None  # [E_tot] int32
     tm_rank: jnp.ndarray = None  # [E_tot] int32
     tm_perm_by_src: jnp.ndarray = None  # [E_tot] int32
+    # tm_rank of each SRC-SORTED edge (= tm_rank[tm_perm_by_src]): lets
+    # src-order backward passes gather per-edge (receiver, type)-keyed
+    # rows while streaming in source order (ranked_segment.emlp1_tm_pass).
+    tm_rank_by_src: jnp.ndarray = None  # [E_tot] int32
     tm_to_flat: jnp.ndarray = None  # [RPAD] int32
     tm_from_flat: jnp.ndarray = None  # [L * n_pad] int32
     tm_to_rcv: jnp.ndarray = None  # [RPAD] int32
@@ -535,6 +539,7 @@ def pad_graph_batch(
         tm_src_flat=src_flat,
         tm_rank=tm_rank,
         tm_perm_by_src=tm_perm_by_src,
+        tm_rank_by_src=tm_rank[tm_perm_by_src] if e_tot_tm else tm_rank,
         tm_to_flat=tm_to_flat,
         tm_from_flat=tm_from_flat,
         tm_to_rcv=tm_to_rcv,

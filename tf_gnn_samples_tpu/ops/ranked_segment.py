@@ -2162,6 +2162,261 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
 rgat_fused_pass.defvjp(_rgat_vjp_fwd, _rgat_vjp_bwd)
 
 
+# ---- fused GNN-Edge-MLP1 type-major pass (src-order recompute bwd) ---------
+
+
+def _emlp1_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
+                          toh_ref, w_ref, wt_ref, dt_ref,
+                          *, be, rl, sub, d, l_eff, dact, clamp_unused=None):
+    """dts half of the GNN-Edge-MLP1 backward over the SOURCE-sorted
+    stream: recomputes the per-edge chain
+        x = elu(m + beta),  y = x @ W1[type],
+        dm = elu'(x) * ((act'(y) * g) @ W1[type]^T)
+    from small tables — m expands in-VMEM from the src-rank table, beta|g
+    arrive as ONE [E, 2D] bf16 row gather keyed by the (receiver, type)
+    rank of each src-sorted edge — and streams dm into the src rank
+    table. Replaces the [E, D] cotangent permute of the type-major
+    gather's generic VJP. The W1 matmuls run per NON-SELF type with the
+    type one-hot masking the per-row results (L_eff-fold matmul FLOPs in
+    VMEM — cheap at the small type counts that take this path; the
+    eligibility gate caps L_eff)."""
+    c = pl.program_id(0)
+    e_real = ereal_ref[0]
+    elu = _ACTS["elu"][0]
+    delu_out = _ACTS_FROM_OUT["elu"]
+
+    @pl.when(c == 0)
+    def _():
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+
+    for s in range(sub):
+        start = pl.multiple_of(start_ref[c * sub + s], 8)
+        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+        m = jnp.dot(oh_t, t_ref[pl.ds(start, rl), :],
+                    preferred_element_type=jnp.float32)  # [BE, D]
+        toh = jnp.dot(oh_t, toh_ref[pl.ds(start, rl), :],
+                      preferred_element_type=jnp.float32)  # [BE, L_eff]
+        gcb = gcb_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        beta, g = gcb[:, :d], gcb[:, d:]
+        x = elu(m + beta)
+        x16 = x.astype(jnp.bfloat16)
+        dx = jnp.zeros((be, d), jnp.float32)
+        for l in range(l_eff):
+            y_l = jnp.dot(x16, w_ref[l],
+                          preferred_element_type=jnp.float32)
+            dagg_l = (dact(y_l) * g).astype(jnp.bfloat16)
+            dx_l = jnp.dot(dagg_l, wt_ref[l],
+                           preferred_element_type=jnp.float32)
+            dx = dx + toh[:, l:l + 1] * dx_l
+        dm = delu_out(x) * dx
+        # Padded edges form the contiguous tail of the src-sorted stream;
+        # their type decode is garbage (slack src ranks), so mask them.
+        eidx = c * STEP + s * be + jax.lax.broadcasted_iota(
+            jnp.int32, (be, 1), 0
+        )
+        dm = dm * (eidx < e_real).astype(jnp.float32)
+        contrib = jnp.dot(oh, dm.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        cur = dt_ref[pl.ds(start, rl), :]
+        dt_ref[pl.ds(start, rl), :] = cur + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("table_rows", "block_edges",
+                                             "act", "win"))
+def _emlp1_src_bwd_impl(gcb_src, t_ranked, type_oh_rank, w_stack, wt_stack,
+                        e_real, ranks, *, table_rows, block_edges, act,
+                        win=0):
+    e = ranks.shape[0]
+    dim = t_ranked.shape[1]
+    l_eff = w_stack.shape[0]
+    assert gcb_src.shape == (e, 2 * dim), (gcb_src.shape, e, dim)
+    assert t_ranked.shape[0] == table_rows, (t_ranked.shape, table_rows)
+    be = block_edges
+    sub = STEP // be
+    rl = win if win else be + 8
+    blocks, starts = _chunk_inputs(ranks, be)
+    kern = functools.partial(_emlp1_src_bwd_kernel, be=be, rl=rl, sub=sub,
+                             d=dim, l_eff=l_eff, dact=_ACTS[act][1])
+    lane_d = _ceil_mult(dim, 128)
+    return pl.pallas_call(
+        kern,
+        grid=(e // STEP,),
+        in_specs=_common_specs(sub, be) + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # e_real scalar
+            pl.BlockSpec((STEP, 2 * dim), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # t rank table resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # type one-hot resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W1 stack resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W1^T stack resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
+        compiler_params=_params(
+            table_rows * lane_d * (2 + 4) + table_rows * 128 * 2
+            + 2 * l_eff * dim * lane_d * 2),
+        interpret=_interpret(),
+    )(starts, blocks, e_real, gcb_src, t_ranked, type_oh_rank, w_stack,
+      wt_stack)
+
+
+def emlp1_src_supported(act: str, num_edges: int, dim: int, l_eff: int,
+                        table_rows: int, src_rows: int) -> bool:
+    """Eligibility of the GNN-Edge-MLP1 src-recompute backward: known
+    activation, small non-self type count (the in-kernel masked matmuls
+    cost L_eff-fold FLOPs), and the resident tables fit VMEM."""
+    if not (ENABLE_FUSED_SRC_PASS and act in _ACTS and 0 < l_eff <= 4):
+        return False
+    lane_d = _ceil_mult(dim, 128)
+    src_vmem = (src_rows * lane_d * (2 + 4) + src_rows * 128 * 2
+                + 2 * l_eff * dim * lane_d * 2
+                + 2 * STEP * 2 * lane_d * 2)
+    return (src_vmem <= _VMEM_BUDGET
+            and ranked_supported(num_edges, dim, table_rows))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14,
+                                                    15, 16, 17))
+def emlp1_tm_pass(ts_flat, beta_table, W1, src_idx, tm_rank, tm_rank_by_src,
+                  src_sorted_rank, src_to_rank, src_from_rank, edge_mask,
+                  offs: tuple, self_flags: tuple, act: str, n_pad: int,
+                  table_rows: int, block_edges: int, win_tm: int,
+                  win_src: int):
+    """GNN-Edge-MLP1 streamed message pass over the TYPE-MAJOR stream
+    (reference gnns/gnn_edge_mlp.py:73-119) with the source-side gather
+    fused into the VJP.
+
+    Forward ≡ the aligned tmajor1 pipeline (nn/layers.py
+    gnn_edge_mlp_apply): m = ts[src], x = elu(m + beta[rank]) via the
+    fused expand kernel, per-NON-SELF-type full-size W1 matmuls on static
+    slices, fused activate-aggregate into the (receiver, type) rank
+    table. Self-loop types contribute node-side outside this op.
+
+    Backward keeps the receiver-order half (act' cotangents, dW1, dbeta)
+    on the existing streaming impls, and replaces the [E, D] cotangent
+    permute of the type-major gather VJP (measured 3.9 ms/layer at PPI
+    scale) with a source-order recompute from small tables
+    (_emlp1_src_bwd_kernel)."""
+    table, _ = _emlp1_fwd_compute(
+        ts_flat, beta_table, W1, src_idx, tm_rank, offs, self_flags, act,
+        table_rows, block_edges, win_tm,
+    )
+    return table
+
+
+def _emlp1_fwd_compute(ts_flat, beta_table, W1, src_idx, tm_rank, offs,
+                       self_flags, act, table_rows, block_edges, win_tm):
+    d = ts_flat.shape[1]
+    ts16 = ts_flat.astype(jnp.bfloat16)
+    m = jnp.take(ts16, src_idx, axis=0, mode="clip")
+    x = _expand_add_act_impl(m, beta_table, tm_rank,
+                             block_edges=block_edges, act="elu", win=win_tm)
+    table = jnp.zeros((table_rows, d), jnp.float32)
+    ys = []
+    for l in range(len(self_flags)):
+        if self_flags[l]:
+            ys.append(None)
+            continue
+        y_l = jnp.dot(
+            x[offs[l]:offs[l + 1]], W1[l].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        ys.append(y_l)
+        table = table + _act_agg_impl(
+            y_l, tm_rank[offs[l]:offs[l + 1]], table_rows=table_rows,
+            block_edges=block_edges, act=act, win=win_tm,
+        )
+    return table, (ts16, x, ys)
+
+
+def _emlp1_vjp_fwd(ts_flat, beta_table, W1, src_idx, tm_rank,
+                   tm_rank_by_src, src_sorted_rank, src_to_rank,
+                   src_from_rank, edge_mask, offs, self_flags, act, n_pad,
+                   table_rows, block_edges, win_tm, win_src):
+    table, (ts16, x, ys) = _emlp1_fwd_compute(
+        ts_flat, beta_table, W1, src_idx, tm_rank, offs, self_flags, act,
+        table_rows, block_edges, win_tm,
+    )
+    res = (ts16, x, ys, beta_table, W1, tm_rank, tm_rank_by_src,
+           src_sorted_rank, src_to_rank, src_from_rank, edge_mask,
+           jnp.zeros((0,), ts_flat.dtype), jnp.zeros((0,), beta_table.dtype))
+    return table, res
+
+
+def _emlp1_vjp_bwd(offs, self_flags, act, n_pad, table_rows, block_edges,
+                   win_tm, win_src, res, g):
+    (ts16, x, ys, beta_table, W1, tm_rank, tm_rank_by_src,
+     src_sorted_rank, src_to_rank, src_from_rank, edge_mask,
+     ts_proto, b_proto) = res
+    d = x.shape[1]
+    e = x.shape[0]
+    L = len(self_flags)
+    g16 = g.astype(jnp.bfloat16)
+
+    # Receiver-order half: per-type act' cotangents -> dW1 and (via the
+    # expand-add-act backward) dbeta. dx only exists per non-self slice.
+    dx = jnp.zeros((e, d), jnp.bfloat16)
+    dW1 = []
+    for l in range(L):
+        if self_flags[l]:
+            dW1.append(jnp.zeros((d, d), W1.dtype))
+            continue
+        sl = slice(offs[l], offs[l + 1])
+        dy_l = _act_agg_bwd_impl(
+            ys[l], g16, tm_rank[sl], block_edges=block_edges, act=act,
+            win=win_tm,
+        )  # [e_l, D] bf16
+        dW1.append(jax.lax.dot_general(
+            x[sl], dy_l, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(W1.dtype))
+        dx = dx.at[sl].set(jnp.dot(
+            dy_l, W1[l].astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16))
+    _, dbeta = _expand_add_act_bwd_impl(
+        x, dx, tm_rank, table_rows=table_rows, block_edges=block_edges,
+        act="elu", win=win_tm,
+    )
+
+    # Source-order half: one [RPAD, 2D] bf16 side table (beta | g) keyed
+    # by the (receiver, type) rank of each src-sorted edge.
+    side = jnp.concatenate(
+        [beta_table.astype(jnp.bfloat16), g16], axis=1
+    )
+    gcb_src = jnp.take(side, tm_rank_by_src, axis=0, mode="clip")
+    t_ranked = jnp.take(ts16, src_from_rank, axis=0, mode="clip")
+    # Compact column per NON-SELF type; self types (and slack rows') rows
+    # are all-zero so their recomputed dm vanishes.
+    col_of_type = np.full((L + 1,), -1, np.int32)
+    nonself = [l for l in range(L) if not self_flags[l]]
+    for ci, l in enumerate(nonself):
+        col_of_type[l] = ci
+    type_of_rank = jnp.minimum(src_from_rank // n_pad, L)
+    cols = jnp.take(jnp.asarray(col_of_type), type_of_rank)
+    type_oh_rank = (
+        cols[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, len(nonself)), 1)
+    ).astype(jnp.bfloat16)
+    w_stack = W1[jnp.asarray(nonself)].astype(jnp.bfloat16)
+    wt_stack = jnp.swapaxes(w_stack, 1, 2)
+    e_real = jnp.sum(edge_mask).astype(jnp.int32).reshape(1)
+    dt_table = _emlp1_src_bwd_impl(
+        gcb_src, t_ranked, type_oh_rank, w_stack, wt_stack, e_real,
+        src_sorted_rank, table_rows=src_from_rank.shape[0],
+        block_edges=block_edges, act=act, win=win_src,
+    )
+    valid = src_to_rank >= 0
+    d_ts = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
+    d_ts = jnp.where(valid[:, None], d_ts, 0.0).astype(ts_proto.dtype)
+    return (d_ts, dbeta.astype(b_proto.dtype), jnp.stack(dW1),
+            None, None, None, None, None, None, None)
+
+
+emlp1_tm_pass.defvjp(_emlp1_vjp_fwd, _emlp1_vjp_bwd)
+
+
 # ---------------------------------------------------------------------------
 # XLA reference implementations (used by tests and as numerical oracles)
 # ---------------------------------------------------------------------------
