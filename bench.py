@@ -200,6 +200,14 @@ def bench_varmisuse_family(model_name: str, data_dir: str):
     # The jitted step donates params/opt state — hand the latest buffers
     # back to the model before the epoch driver uses them.
     model.model_params_tree, model.opt_state = p, o
+    # Folds can pack into MULTIPLE static shapes (batch-spec levels pair
+    # with per-batch unique-label pads), and each extra shape costs a
+    # ~50-80 s XLA compile the FIRST time it is seen. A warm-up epoch
+    # pays those, so the measured epoch is the steady-state pipeline
+    # (parse + pack + upload + step) — this asymmetry is what made the
+    # round-3 table's single-shape families (EMLP1) read ~7x faster than
+    # the rest at the streaming-epoch level.
+    model._run_epoch("vm warm", data, DataFold.TRAIN, quiet=True)
     _, _, _, _, _, epoch_eps = model._run_epoch(
         "vm bench", data, DataFold.TRAIN, quiet=True
     )

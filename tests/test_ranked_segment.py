@@ -876,6 +876,9 @@ def test_edge_mlp1_src_recompute_bwd_matches(monkeypatch):
     from tf_gnn_samples_tpu.nn.layers import (gnn_edge_mlp_apply,
                                               gnn_edge_mlp_init)
 
+    # The pass is OFF by default (measured slower than the permute on the
+    # v5e bench shapes) — force it on to keep its numerics pinned.
+    monkeypatch.setattr(rs, "ENABLE_EMLP1_SRC_PASS", True)
     rng = np.random.RandomState(31)
     graph = _random_graph_batch(rng)
     d = 64

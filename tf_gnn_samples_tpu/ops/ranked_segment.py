@@ -2261,12 +2261,23 @@ def _emlp1_src_bwd_impl(gcb_src, t_ranked, type_oh_rank, w_stack, wt_stack,
       wt_stack)
 
 
+# MEASURED DEAD END — kept for the record, OFF by default: at the PPI
+# bench shapes the src-order recompute (re-running the W1 matmuls twice,
+# type-masked, inside the kernel) costs MORE than the [E, D] cotangent
+# permute it replaces (A/B on one v5e: 4.73M vs 5.12M e/s epoch rate).
+# Unlike FiLM/RGAT, the W1 dense sits BETWEEN the activation and the
+# transport, so the recompute cannot avoid per-edge matmul re-runs.
+# See docs/PERFORMANCE.md "GNN-Edge-MLP1 wall".
+ENABLE_EMLP1_SRC_PASS = False
+
+
 def emlp1_src_supported(act: str, num_edges: int, dim: int, l_eff: int,
                         table_rows: int, src_rows: int) -> bool:
     """Eligibility of the GNN-Edge-MLP1 src-recompute backward: known
     activation, small non-self type count (the in-kernel masked matmuls
     cost L_eff-fold FLOPs), and the resident tables fit VMEM."""
-    if not (ENABLE_FUSED_SRC_PASS and act in _ACTS and 0 < l_eff <= 4):
+    if not (ENABLE_EMLP1_SRC_PASS and ENABLE_FUSED_SRC_PASS
+            and act in _ACTS and 0 < l_eff <= 4):
         return False
     lane_d = _ceil_mult(dim, 128)
     src_vmem = (src_rows * lane_d * (2 + 4) + src_rows * 128 * 2
