@@ -1899,8 +1899,12 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
     @pl.when(c == 0)
     def _():
         dt_ref[:] = jnp.zeros_like(dt_ref)
-        da_ref[:] = jnp.zeros_like(da_ref)
 
+    # d_att accumulates into a LOCAL register tile and writes one
+    # per-grid-step partial (summed by the caller): accumulating straight
+    # into a shared [L, D] ref would chain every sub-block's update into
+    # one serial dependency across the whole grid.
+    da_local = jnp.zeros(da_ref.shape[1:], jnp.float32)
     for s in range(sub):
         start = pl.multiple_of(start_ref[c * sub + s], 8)
         oh = _local_onehot(rank_ref[s, :], start, rl, be)
@@ -1947,10 +1951,13 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
                           preferred_element_type=jnp.float32)
         cur = dt_ref[pl.ds(start, rl), :]
         dt_ref[pl.ds(start, rl), :] = cur + contrib
-        da_ref[:] = da_ref[:] + jax.lax.dot_general(
+        # f32 contraction: attention-vector gradients are small
+        # reductions over many edges — keep them exact (cf. _wseg_t_bwd).
+        da_local = da_local + jax.lax.dot_general(
             toh, dpre_rep * m * live, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [L, D]
+    da_ref[0] = da_local
 
 
 @functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
@@ -1984,11 +1991,12 @@ def _rgat_src_bwd_impl(gcb_src, t_ranked, type_oh_rank, att_block, e_real,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_types, dim), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
-            jax.ShapeDtypeStruct((num_types, dim), jnp.float32),
+            jax.ShapeDtypeStruct((e // STEP, num_types, dim), jnp.float32),
         ),
         compiler_params=_params(
             table_rows * lane_d * (2 + 4) + table_rows * 128 * 2),
@@ -2145,11 +2153,12 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
                                   dtype=jnp.bfloat16)
     att_block = att_src.reshape(L, d).astype(jnp.bfloat16)
     e_real = jnp.sum(edge_mask).astype(jnp.int32).reshape(1)
-    dt_table, d_att_block = _rgat_src_bwd_impl(
+    dt_table, da_parts = _rgat_src_bwd_impl(
         gcb_src, t_ranked, type_oh_rank, att_block, e_real,
         src_sorted_rank, table_rows=src_from_rank.shape[0],
         num_heads=k, block_edges=block_edges, clamp=clamp, win=win_src,
     )
+    d_att_block = jnp.sum(da_parts, axis=0)
     valid = src_to_rank >= 0
     d_t = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
     d_t = jnp.where(valid[:, None], d_t, 0.0).astype(t_proto.dtype)
