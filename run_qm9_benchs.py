@@ -32,11 +32,15 @@ SCRAPE = {
 
 
 def build_grid(args):
+    import json as _json
+    overrides = (_json.loads(args.model_param_overrides)
+                 if args.model_param_overrides else None)
     for model in model_subset(args.models):
         for prop_id in range(len(PROPERTIES)):
             for seed in range(1, 1 + int(args.num_runs)):
                 yield Trial(
                     argv=train_argv(model, "QM9", seed=seed, quiet=False,
+                                    model_overrides=overrides,
                                     task_overrides={"task_ids": [prop_id]},
                                     data_path=args.data_path),
                     logfile=os.path.join(
@@ -81,4 +85,8 @@ if __name__ == "__main__":
     parser.add_argument("--models", default=None,
                         help="Comma-separated subset of models to run "
                              "(extension; default = the reference's full list).")
+    parser.add_argument("--model-param-overrides", default=None,
+                        help="JSON model-param overrides applied to every "
+                             "run (extension; e.g. the small-fold recipe "
+                             "from docs/PARITY.md).")
     main(parser.parse_args())

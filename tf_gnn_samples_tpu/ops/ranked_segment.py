@@ -2176,7 +2176,7 @@ rgat_fused_pass.defvjp(_rgat_vjp_fwd, _rgat_vjp_bwd)
 
 def _emlp1_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
                           toh_ref, w_ref, wt_ref, dt_ref,
-                          *, be, rl, sub, d, l_eff, dact, clamp_unused=None):
+                          *, be, rl, sub, d, l_eff, dact):
     """dts half of the GNN-Edge-MLP1 backward over the SOURCE-sorted
     stream: recomputes the per-edge chain
         x = elu(m + beta),  y = x @ W1[type],
