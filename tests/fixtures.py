@@ -153,7 +153,8 @@ def make_planted_ppi_dir(root, graphs_per_fold=None, nodes_per_graph=50,
     return root
 
 
-def make_planted_varmisuse_dir(root, num_samples=50, seed=0):
+def make_planted_varmisuse_dir(root, num_samples=50, seed=0,
+                               folds=("train", "valid")):
     """VarMisuse fixture with a PLANTED signal: the CORRECT candidate's
     node label is always the marker identifier 'winnerVar', so the
     char-CNN + candidate head can reach accuracy ~1.0 on the train fold
@@ -192,7 +193,7 @@ def make_planted_varmisuse_dir(root, num_samples=50, seed=0):
             ],
         }
 
-    for fold in ["train", "valid"]:
+    for fold in folds:
         d = os.path.join(root, "graphs-%s" % fold)
         os.makedirs(d, exist_ok=True)
         with gzip.open(os.path.join(d, "chunk_0.jsonl.gz"), "wt") as f:
