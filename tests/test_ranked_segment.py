@@ -858,8 +858,11 @@ def test_rgat_fused_pass_matches_unfused_streamed(monkeypatch):
     g_unfused = jax.grad(lambda p, hh: run(p, hh)[1], argnums=(0, 1))(
         params, h)
 
+    # The fused forward rounds the per-rank source logit halves to bf16
+    # (they ride the type-stacked table as extra lanes); outputs differ
+    # from the per-edge f32-accumulated unfused path by that rounding.
     np.testing.assert_allclose(np.asarray(out_fused),
-                               np.asarray(out_unfused), rtol=1e-5, atol=1e-5)
+                               np.asarray(out_unfused), rtol=2e-2, atol=2e-2)
     for a, b in zip(jax.tree_util.tree_leaves(g_unfused),
                     jax.tree_util.tree_leaves(g_fused)):
         # atol covers bf16 side-table noise on near-zero entries (grad

@@ -1872,26 +1872,30 @@ def _wseg_t_dw_impl(msgs, g16, ranks, *, num_heads, block_edges, win=0):
 
 
 def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
-                         toh_ref, attb_ref, dt_ref, da_ref,
-                         *, be, rl, sub, d, k, clamp):
-    """dt + d_att_src halves of the RGAT backward over the SOURCE-sorted
-    edge stream.
+                         dt_ref, *, be, rl, sub, d, k, clamp):
+    """dt + per-src-rank dpre-sum halves of the RGAT backward over the
+    SOURCE-sorted edge stream.
 
     Recomputes the attention weight and the pre-activation logit cotangent
-    per edge FROM SMALL TABLES — the transformed messages expand in-VMEM
-    from the src-rank table (bitwise the forward's bf16 rows); everything
-    receiver-keyed (the aggregation cotangent, the target logit halves, the
-    softmax denominator, and the softmax correction term s) arrives as ONE
-    XLA row gather from a [RPAD, D+3K] bf16 fine-rank side table — and
-    accumulates
+    per edge FROM SMALL TABLES — the t_ref slab carries the src-rank
+    message rows WITH their per-rank bf16 source logit halves (the SAME
+    K extra lanes the forward gathers, so the recomputed attention is
+    bit-consistent with it); everything receiver-keyed (the aggregation
+    cotangent, target logit halves, softmax denominator, correction term)
+    arrives as ONE XLA row gather from a [RPAD, D+3K] bf16 fine-rank side
+    table. Only the attn-weighted half of the message cotangent
+    accumulates here (dmsg_e = attn_e * dagg_rcv(e)); the
+    att_src-weighted half AND d_att_src both factor through the per-rank
+    dpre sums (m and att_src[type] are constant within a src rank), which
+    the kernel emits as a thin [R, K] f32 table for the caller's
+    node-side completion:
 
-        dmsg_e = attn_e * dagg_rcv(e) + dpre_e * att_src[type(e)]
+        sum_{e: rank r} dpre_rep(e) * attv_r = attv_r * (dpre_sum_r @ rep)
+        d_att[l] = sum_{r: type(r)=l} m_r * (dpre_sum_r @ rep)
 
-    into the src rank table, which IS dt in rank space. Nothing [E, D]-
-    shaped is permuted between edge orders (the measured hot op this
-    replaces: a 7.8 ms/layer cotangent permute at PPI scale). The type
-    one-hot expands from a tiny resident [R_src, L] table so the same pass
-    accumulates d_att_src's [L, D] block layout."""
+    (exact reassociations; f32 per-rank sums). Nothing [E, D]-shaped is
+    permuted between edge orders (the measured hot op this replaces: a
+    7.8 ms/layer cotangent permute at PPI scale)."""
     c = pl.program_id(0)
     rep = _head_replicate_matrix(k, d)  # [K, D]
     e_real = ereal_ref[0]
@@ -1900,34 +1904,19 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
     def _():
         dt_ref[:] = jnp.zeros_like(dt_ref)
 
-    # d_att accumulates into a LOCAL register tile and writes one
-    # per-grid-step partial (summed by the caller): accumulating straight
-    # into a shared [L, D] ref would chain every sub-block's update into
-    # one serial dependency across the whole grid.
-    da_local = jnp.zeros(da_ref.shape[1:], jnp.float32)
     for s in range(sub):
         start = pl.multiple_of(start_ref[c * sub + s], 8)
         oh = _local_onehot(rank_ref[s, :], start, rl, be)
         oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        t_slab = t_ref[pl.ds(start, rl), :]  # bf16 [RL, D]
-        m = jnp.dot(oh_t, t_slab, preferred_element_type=jnp.float32)
-        toh = jnp.dot(
-            oh_t, toh_ref[pl.ds(start, rl), :],
-            preferred_element_type=jnp.float32,
-        )  # [BE, L] (exact one-hot rows: oh_t selects one row)
-        attv = jnp.dot(
-            toh.astype(jnp.bfloat16), attb_ref[:],
-            preferred_element_type=jnp.float32,
-        )  # [BE, D] = att_src[type(e)] in head-block lane layout
+        mt = jnp.dot(oh_t, t_ref[pl.ds(start, rl), :],
+                     preferred_element_type=jnp.float32)  # [BE, D+K]
+        m = mt[:, :d]
+        lsrc = mt[:, d:]
         gcb = gcb_ref[pl.ds(s * be, be), :].astype(jnp.float32)
         dagg = gcb[:, :d]
         lt = gcb[:, d:d + k]
         den = gcb[:, d + k:d + 2 * k]
         s_cor = gcb[:, d + 2 * k:d + 3 * k]
-        lsrc = jax.lax.dot_general(
-            m * attv, rep, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BE, K]
         pre = lsrc + lt
         logit = jnp.where(pre > 0, pre, 0.2 * pre)  # leaky_relu, tf default
         ex = jnp.exp(jnp.clip(logit, -clamp, clamp))
@@ -1938,42 +1927,41 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
         )  # [BE, K] = <m_e head k, dagg_rcv head k>
         dlog = attn * (draw - s_cor)
         dpre = jnp.where(pre > 0, dlog, 0.2 * dlog)
-        # Padded edges (contiguous tail of the src-sorted stream) would
-        # otherwise pollute d_att_src; their dt rows are slack anyway.
+        # Padded edges (contiguous tail of the src-sorted stream) must
+        # reach neither table (their type/rank decode is garbage).
         eidx = c * STEP + s * be + jax.lax.broadcasted_iota(
             jnp.int32, (be, 1), 0
         )
         live = (eidx < e_real).astype(jnp.float32)
+        dpre = dpre * live
         attn_rep = jnp.dot(attn, rep, preferred_element_type=jnp.float32)
-        dpre_rep = jnp.dot(dpre, rep, preferred_element_type=jnp.float32)
-        dmsg = (attn_rep * dagg + dpre_rep * attv) * live
-        contrib = jnp.dot(oh, dmsg.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        dmsg = attn_rep * dagg * live
+        # ONE accumulation dot and ONE RMW per sub-block: the thin dpre
+        # columns ride the dt table as K extra lanes (a second windowed
+        # RMW table measured +2.5 ms/layer of serialization).
+        both = jnp.concatenate(
+            [dmsg.astype(jnp.bfloat16), dpre.astype(jnp.bfloat16)], axis=1
+        )  # [BE, D+K]
+        contrib = jnp.dot(oh, both, preferred_element_type=jnp.float32)
         cur = dt_ref[pl.ds(start, rl), :]
         dt_ref[pl.ds(start, rl), :] = cur + contrib
-        # f32 contraction: attention-vector gradients are small
-        # reductions over many edges — keep them exact (cf. _wseg_t_bwd).
-        da_local = da_local + jax.lax.dot_general(
-            toh, dpre_rep * m * live, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [L, D]
-    da_ref[0] = da_local
 
 
 @functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
                                              "block_edges", "clamp", "win"))
-def _rgat_src_bwd_impl(gcb_src, t_ranked, type_oh_rank, att_block, e_real,
+def _rgat_src_bwd_impl(gcb_src, t_ext, e_real,
                        ranks, *, table_rows, num_heads, block_edges,
                        clamp, win=0):
+    """t_ext: [R_src, D + K] bf16 — src-rank message rows with their
+    per-rank source logit halves appended (the forward's own lanes)."""
     e = ranks.shape[0]
-    dim = t_ranked.shape[1]
     k = num_heads
+    dim = t_ext.shape[1] - k
     assert gcb_src.shape == (e, dim + 3 * k), (gcb_src.shape, e, dim, k)
-    assert t_ranked.shape[0] == table_rows, (t_ranked.shape, table_rows)
+    assert t_ext.shape[0] == table_rows, (t_ext.shape, table_rows)
     be = block_edges
     sub = STEP // be
     rl = win if win else be + 8
-    num_types = att_block.shape[0]
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_rgat_src_bwd_kernel, be=be, rl=rl, sub=sub,
                              d=dim, k=k, clamp=clamp)
@@ -1985,23 +1973,14 @@ def _rgat_src_bwd_impl(gcb_src, t_ranked, type_oh_rank, att_block, e_real,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # e_real scalar
             pl.BlockSpec((STEP, dim + 3 * k), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # t rank table resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # type one-hot resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # att block resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # t|lsrc table resident
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_types, dim), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((table_rows, dim), jnp.float32),
-            jax.ShapeDtypeStruct((e // STEP, num_types, dim), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((table_rows, dim + k), jnp.float32),
         compiler_params=_params(
-            table_rows * lane_d * (2 + 4) + table_rows * 128 * 2),
+            table_rows * _ceil_mult(dim + k, 128) * (2 + 4)),
         interpret=_interpret(),
-    )(starts, blocks, e_real, gcb_src, t_ranked, type_oh_rank, att_block)
+    )(starts, blocks, e_real, gcb_src, t_ext)
 
 
 def rgat_fused_supported(num_edges: int, dim: int, num_heads: int,
@@ -2012,9 +1991,9 @@ def rgat_fused_supported(num_edges: int, dim: int, num_heads: int,
     bf16 stream) fit VMEM."""
     if not ENABLE_FUSED_SRC_PASS or dim % num_heads:
         return False
-    lane_d = _ceil_mult(dim, 128)
+    lane_dk = _ceil_mult(dim + num_heads, 128)
     lane_g = _ceil_mult(dim + 3 * num_heads, 128)
-    src_vmem = (src_rows * lane_d * (2 + 4) + src_rows * 128 * 2
+    src_vmem = (src_rows * lane_dk * (2 + 4)
                 + 2 * STEP * lane_g * 2)
     return (src_vmem <= _VMEM_BUDGET
             and ranked_supported(num_edges, dim, table_rows))
@@ -2062,21 +2041,24 @@ def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
                       n_pad, block_edges, win_fine, clamp: float = 50.0):
     L, k, dh = att_src.shape
     d = t_flat.shape[1]
-    e_tot = src_idx.shape[0]
     t16 = t_flat.astype(jnp.bfloat16)
-    m2 = jnp.take(t16, src_idx, axis=0, mode="clip")  # [E, D]
-    # Head-block-diagonal stack of every type's source attention vector
-    # (see nn/layers.py rgat_apply for the layout rationale).
-    a_all = jnp.einsum(
-        "lkd,kq->kdlq", att_src, jnp.eye(k, dtype=att_src.dtype),
-    ).reshape(d, L * k)
-    logits_all = jax.lax.optimization_barrier(jax.lax.dot(
-        m2, a_all.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ))
-    lsrc_t = jnp.einsum(
-        "lke,le->ke", logits_all.T.reshape(L, k, e_tot), edge_type_oh_t,
-    )
+    # Per-(type, node) source logit halves, computed NODE-side and rounded
+    # to bf16 ONCE: lsrc = <t[l, v], att_src[l]> per head depends only on
+    # the (type, node) slot, so it rides the type-stacked table as K extra
+    # lanes — ONE widened gather replaces the per-edge [E, L*K] logits
+    # matmul + type-select, and the src-order backward reads the SAME
+    # bf16 values back (bit-consistent recomputed attention).
+    lsrc_node = jnp.einsum(
+        "lnkh,lkh->lnk",
+        t16.astype(jnp.float32).reshape(L, n_pad, k, dh),
+        att_src.astype(jnp.bfloat16).astype(jnp.float32),
+    ).reshape(L * n_pad, k)
+    t_ext = jnp.concatenate(
+        [t16, lsrc_node.astype(jnp.bfloat16)], axis=1
+    )  # [L*N, D+K]
+    m2e = jnp.take(t_ext, src_idx, axis=0, mode="clip")  # [E, D+K]
+    m2 = m2e[:, :d]
+    lsrc_t = m2e[:, d:].astype(jnp.float32).T  # [K, E]
     ltgt_t = _expand_t_impl(lt_table.T, tgt_rank,
                             block_edges=block_edges, win=win_fine)
     pre_t = lsrc_t + ltgt_t
@@ -2092,7 +2074,7 @@ def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
                          num_heads=num_heads, block_edges=block_edges,
                          win=win_fine)
     sign = (pre_t > 0).astype(jnp.int8)
-    return table, (m2, attn_t, den, sign, t16)
+    return table, (m2, attn_t, den, sign, t_ext)
 
 
 def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
@@ -2100,11 +2082,11 @@ def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
                   rcv_rank, tgt_rank, edge_mask, fine_to_rcv,
                   node_to_rank, edge_type_oh_t,
                   num_heads, n_pad, block_edges, win_fine, win_src):
-    table, (m2, attn_t, den, sign, t16) = _rgat_fwd_compute(
+    table, (m2, attn_t, den, sign, t_ext) = _rgat_fwd_compute(
         t_flat, lt_table, att_src, src_idx, rcv_rank, tgt_rank, edge_mask,
         edge_type_oh_t, num_heads, n_pad, block_edges, win_fine,
     )
-    res = (m2, attn_t, den, sign, t16, lt_table, att_src,
+    res = (m2, attn_t, den, sign, t_ext, lt_table, att_src,
            fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
            rcv_rank, tgt_rank, edge_mask, fine_to_rcv, node_to_rank,
            jnp.zeros((0,), t_flat.dtype))
@@ -2113,7 +2095,7 @@ def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
 
 def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
                   res, g):
-    (m2, attn_t, den, sign, t16, lt_table, att_src,
+    (m2, attn_t, den, sign, t_ext, lt_table, att_src,
      fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
      rcv_rank, tgt_rank, edge_mask, fine_to_rcv, node_to_rank,
      t_proto) = res
@@ -2148,19 +2130,34 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
         jnp.take(s_tab.T.astype(jnp.bfloat16), cof, axis=0),
     ], axis=1)  # [RPAD, D+3K]
     gcb_src = jnp.take(side, fine_rank_by_src, axis=0, mode="clip")
-    t_ranked = jnp.take(t16, src_from_rank, axis=0, mode="clip")
-    type_oh_rank = jax.nn.one_hot(src_from_rank // n_pad, L,
-                                  dtype=jnp.bfloat16)
-    att_block = att_src.reshape(L, d).astype(jnp.bfloat16)
+    t_rank_ext = jnp.take(t_ext, src_from_rank, axis=0, mode="clip")
     e_real = jnp.sum(edge_mask).astype(jnp.int32).reshape(1)
-    dt_table, da_parts = _rgat_src_bwd_impl(
-        gcb_src, t_ranked, type_oh_rank, att_block, e_real,
+    dtp = _rgat_src_bwd_impl(
+        gcb_src, t_rank_ext, e_real,
         src_sorted_rank, table_rows=src_from_rank.shape[0],
         num_heads=k, block_edges=block_edges, clamp=clamp, win=win_src,
     )
-    d_att_block = jnp.sum(da_parts, axis=0)
+    dt_table, dp_table = dtp[:, :d], dtp[:, d:]
+    # Node-side completion from the per-rank dpre sums (m and the type's
+    # attention vector are constant within a src rank — exact
+    # reassociation): the att_src-weighted dmsg half and d_att_src.
+    type_oh_rank = jax.nn.one_hot(src_from_rank // n_pad, L,
+                                  dtype=jnp.float32)  # [R, L]
+    att_block = att_src.reshape(L, d).astype(jnp.bfloat16).astype(
+        jnp.float32)  # match the forward's bf16-rounded vectors
+    attv_rank = jnp.dot(type_oh_rank, att_block,
+                        preferred_element_type=jnp.float32)  # [R, D]
+    rep = _head_replicate_matrix(k, d)
+    dpre_rep_rank = jnp.dot(dp_table, rep,
+                            preferred_element_type=jnp.float32)  # [R, D]
+    dt_full = dt_table + attv_rank * dpre_rep_rank
+    t_rank_f32 = t_rank_ext[:, :d].astype(jnp.float32)
+    d_att_block = jax.lax.dot_general(
+        type_oh_rank, t_rank_f32 * dpre_rep_rank, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [L, D]
     valid = src_to_rank >= 0
-    d_t = jnp.take(dt_table, jnp.maximum(src_to_rank, 0), axis=0)
+    d_t = jnp.take(dt_full, jnp.maximum(src_to_rank, 0), axis=0)
     d_t = jnp.where(valid[:, None], d_t, 0.0).astype(t_proto.dtype)
     d_att_src = d_att_block.reshape(L, k, dh).astype(att_src.dtype)
     return (d_t, d_lt.astype(lt_table.dtype), d_att_src,
