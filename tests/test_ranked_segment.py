@@ -927,3 +927,24 @@ def test_edge_mlp1_src_recompute_bwd_matches(monkeypatch):
                     jax.tree_util.tree_leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-2, atol=1e-1)
+
+
+def test_fused_pass_gates_engage_at_bench_shapes():
+    """Eligibility-gate regression guard: the fused src-order passes must
+    remain ELIGIBLE at the PPI bench shapes. A mis-counted VMEM term here
+    silently falls back to the permute path and reads as a plausible
+    (old) benchmark number — this failure mode cost two wrong
+    measurements in round 4 (docs/PERFORMANCE.md round-4 caution)."""
+    d = 320
+    # GNN-FiLM tuned fold (6k-node batches): E_pad ~301k.
+    e_film = 147 * rs.STEP
+    n_film = 6400
+    film_rows = rs.fine_rank_table_rows(n_film, 3, e_film, 256)
+    film_src_rows = rs.src_rank_table_rows(3 * n_film, e_film, 256)
+    assert rs.film_fused_src_supported("relu", e_film, d, film_rows,
+                                       film_src_rows)
+    # RGAT tuned fold: E_pad ~547k, the observed src-rank table height.
+    e_rgat = 267 * rs.STEP
+    n_rgat = 12800
+    rgat_rows = rs.rank_table_rows(n_rgat, 256)
+    assert rs.rgat_fused_supported(e_rgat, d, 4, rgat_rows, 27920)
