@@ -34,7 +34,9 @@ def build_grid(args):
             yield Trial(
                 argv=train_argv(model, "PPI", seed=seed,
                                 model_overrides=extra,
-                                data_path=args.data_path),
+                                data_path=args.data_path,
+                                result_dir=os.path.join(
+                                    args.LOG_TARGET_DIR, "models")),
                 logfile=os.path.join(
                     args.LOG_TARGET_DIR, "%s_seed%i.txt" % (model.lower(), seed)
                 ),

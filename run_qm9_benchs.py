@@ -42,7 +42,9 @@ def build_grid(args):
                     argv=train_argv(model, "QM9", seed=seed, quiet=False,
                                     model_overrides=overrides,
                                     task_overrides={"task_ids": [prop_id]},
-                                    data_path=args.data_path),
+                                    data_path=args.data_path,
+                                    result_dir=os.path.join(
+                                        args.LOG_TARGET_DIR, "models")),
                     logfile=os.path.join(
                         args.LOG_TARGET_DIR,
                         "%s_task%i_seed%i.txt" % (model, prop_id, seed),

@@ -40,7 +40,9 @@ def main(args):
             )
             train_trial = Trial(
                 argv=train_argv(model, "VarMisuse", seed=seed,
-                                data_path=args.data_path),
+                                data_path=args.data_path,
+                                result_dir=os.path.join(
+                                    args.LOG_TARGET_DIR, "models")),
                 logfile=stem + ".txt",
                 scrape=SCRAPE_TRAIN,
                 tag=(model, seed),
@@ -58,8 +60,10 @@ def main(args):
                     "Run log %s has no saved-model line." % train_trial.logfile
                 )
             eval_trial = Trial(
-                argv=[sys.executable, "test.py", "--quiet", saved,
-                      args.testonly_path],
+                argv=[sys.executable, "test.py", "--quiet",
+                      "--result-dir",
+                      os.path.join(args.LOG_TARGET_DIR, "models"),
+                      saved, args.testonly_path],
                 logfile=stem + "-testonly.txt",
                 scrape=SCRAPE_EVAL,
                 tag=(model, seed, "testonly"),

@@ -380,16 +380,13 @@ def rgat_apply(
                 # order from small tables instead of permuting an [E, D]
                 # stream (ops/ranked_segment.rgat_fused_pass).
                 lt_ranked = take_by_fine_rank(_flat(logit_tgt), graph)
-                type_oh_t = jax.nn.one_hot(
-                    flat.edge_type, L, dtype=jnp.float32, axis=0
-                )
                 table = rs.rgat_fused_pass(
                     _flat(t), lt_ranked, att_src,
                     flat.src_flat, flat.fine_rank_by_src,
                     flat.src_sorted_rank, flat.src_to_rank,
                     flat.src_from_rank, flat.rcv_rank, flat.tgt_rank,
                     flat.mask, flat.fine_to_rcv, graph.node_to_rank,
-                    type_oh_t, num_heads, n_pad, 256,
+                    num_heads, n_pad, 256,
                     token_window(flat.win_fine),
                     token_window(flat.win_src),
                 )

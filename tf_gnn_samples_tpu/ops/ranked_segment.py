@@ -1926,6 +1926,10 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
             preferred_element_type=jnp.float32,
         )  # [BE, K] = <m_e head k, dagg_rcv head k>
         dlog = attn * (draw - s_cor)
+        # The forward clamps logits to [-clamp, clamp] before exp; autodiff
+        # through jnp.clip zeroes the cotangent at clamped logits, so the
+        # recompute must apply the same indicator to stay VJP-exact.
+        dlog = dlog * (jnp.abs(logit) < clamp).astype(jnp.float32)
         dpre = jnp.where(pre > 0, dlog, 0.2 * dlog)
         # Padded edges (contiguous tail of the src-sorted stream) must
         # reach neither table (their type/rank decode is garbage).
@@ -1965,7 +1969,6 @@ def _rgat_src_bwd_impl(gcb_src, t_ext, e_real,
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_rgat_src_bwd_kernel, be=be, rl=rl, sub=sub,
                              d=dim, k=k, clamp=clamp)
-    lane_d = _ceil_mult(dim, 128)
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -1999,11 +2002,11 @@ def rgat_fused_supported(num_edges: int, dim: int, num_heads: int,
             and ranked_supported(num_edges, dim, table_rows))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def rgat_fused_pass(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
                     src_sorted_rank, src_to_rank, src_from_rank,
                     rcv_rank, tgt_rank, edge_mask, fine_to_rcv,
-                    node_to_rank, edge_type_oh_t,
+                    node_to_rank,
                     num_heads: int, n_pad: int, block_edges: int,
                     win_fine: int, win_src: int):
     """RGAT attention pass (reference gnns/rgat.py:95-138) with the
@@ -2031,13 +2034,13 @@ def rgat_fused_pass(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
     """
     table, _ = _rgat_fwd_compute(
         t_flat, lt_table, att_src, src_idx, rcv_rank, tgt_rank, edge_mask,
-        edge_type_oh_t, num_heads, n_pad, block_edges, win_fine,
+        num_heads, n_pad, block_edges, win_fine,
     )
     return table
 
 
 def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
-                      tgt_rank, edge_mask, edge_type_oh_t, num_heads,
+                      tgt_rank, edge_mask, num_heads,
                       n_pad, block_edges, win_fine, clamp: float = 50.0):
     L, k, dh = att_src.shape
     d = t_flat.shape[1]
@@ -2073,18 +2076,22 @@ def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
     table = _wseg_t_impl(m2, attn_t, rcv_rank, table_rows=rows,
                          num_heads=num_heads, block_edges=block_edges,
                          win=win_fine)
-    sign = (pre_t > 0).astype(jnp.int8)
+    # 3-state leaky/clamp code for the backward: 0 = clamped (zero
+    # gradient, matching autodiff through jnp.clip), 1 = positive branch,
+    # 2 = negative (0.2×) branch.
+    unclamped = jnp.abs(logits_t) < clamp
+    sign = jnp.where(unclamped, jnp.where(pre_t > 0, 1, 2), 0).astype(jnp.int8)
     return table, (m2, attn_t, den, sign, t_ext)
 
 
 def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
                   src_sorted_rank, src_to_rank, src_from_rank,
                   rcv_rank, tgt_rank, edge_mask, fine_to_rcv,
-                  node_to_rank, edge_type_oh_t,
+                  node_to_rank,
                   num_heads, n_pad, block_edges, win_fine, win_src):
     table, (m2, attn_t, den, sign, t_ext) = _rgat_fwd_compute(
         t_flat, lt_table, att_src, src_idx, rcv_rank, tgt_rank, edge_mask,
-        edge_type_oh_t, num_heads, n_pad, block_edges, win_fine,
+        num_heads, n_pad, block_edges, win_fine,
     )
     res = (m2, attn_t, den, sign, t_ext, lt_table, att_src,
            fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
@@ -2115,7 +2122,7 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
                            block_edges=block_edges, win=win_fine)
     s_exp = _expand_t_impl(s_tab, rcv_rank, block_edges=block_edges,
                            win=win_fine)
-    lrfac = jnp.where(sign > 0, 1.0, 0.2)
+    lrfac = jnp.where(sign == 1, 1.0, jnp.where(sign == 2, 0.2, 0.0))
     dpre_t = attn_t * (draw_t - s_exp) * lrfac
     d_lt = _segsum_t_impl(dpre_t, tgt_rank, table_rows=rpad,
                           block_edges=block_edges, win=win_fine).T
@@ -2161,8 +2168,7 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
     d_t = jnp.where(valid[:, None], d_t, 0.0).astype(t_proto.dtype)
     d_att_src = d_att_block.reshape(L, k, dh).astype(att_src.dtype)
     return (d_t, d_lt.astype(lt_table.dtype), d_att_src,
-            None, None, None, None, None, None, None, None, None, None,
-            None)
+            None, None, None, None, None, None, None, None, None, None)
 
 
 rgat_fused_pass.defvjp(_rgat_vjp_fwd, _rgat_vjp_bwd)

@@ -877,7 +877,7 @@ def _halo_rows(shard: GPHaloShard, h_local, axis_name: str):
     return halo.reshape(-1, h_local.shape[-1])
 
 
-def _take_rcv(table, flat_s, n_local: int):
+def _take_rcv(table, flat_s):
     """Per-edge row of a receiver-indexed [n_local (+1), D] table; padded
     edges (receiver == n_local) read the appended zero/neg row."""
     return jnp.take(table, jnp.minimum(flat_s.receivers, table.shape[0] - 1),
@@ -898,8 +898,8 @@ def _segment_softmax_split(logits_loc, fl, logits_rem, fr, n_local: int):
                             indices_are_sorted=True),
     )
     gmax = jnp.maximum(gmax, neg)
-    ex_loc = jnp.exp(masked_loc - _take_rcv(gmax, fl, n_local)) * fl.mask[:, None]
-    ex_rem = jnp.exp(masked_rem - _take_rcv(gmax, fr, n_local)) * fr.mask[:, None]
+    ex_loc = jnp.exp(masked_loc - _take_rcv(gmax, fl)) * fl.mask[:, None]
+    ex_rem = jnp.exp(masked_rem - _take_rcv(gmax, fr)) * fr.mask[:, None]
     denom = (
         jax.ops.segment_sum(ex_loc, fl.receivers, n_local + 1,
                             indices_are_sorted=True)
@@ -907,8 +907,8 @@ def _segment_softmax_split(logits_loc, fl, logits_rem, fr, n_local: int):
                               indices_are_sorted=True)
     )
     small = 1e-7  # SMALL_NUMBER
-    return (ex_loc / (_take_rcv(denom, fl, n_local) + small),
-            ex_rem / (_take_rcv(denom, fr, n_local) + small))
+    return (ex_loc / (_take_rcv(denom, fl) + small),
+            ex_rem / (_take_rcv(denom, fr) + small))
 
 
 def gp_halo_rgcn_layer_kw(gnn_params, shard: GPHaloShard, h_local,

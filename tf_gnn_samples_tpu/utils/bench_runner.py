@@ -74,6 +74,7 @@ def train_argv(model: str, task: str, *, seed: int,
                model_overrides: Optional[dict] = None,
                task_overrides: Optional[dict] = None,
                data_path: Optional[str] = None,
+               result_dir: Optional[str] = None,
                quiet: bool = True, run_test: bool = True) -> List[str]:
     """Build a `train.py` invocation (matches the reference protocol:
     one subprocess per (model, seed), run_ppi_benchs.py:38-48)."""
@@ -82,9 +83,14 @@ def train_argv(model: str, task: str, *, seed: int,
         argv.append("--quiet")
     if run_test:
         argv.append("--run-test")
+    if result_dir:
+        argv += ["--result-dir", result_dir]
     argv += [model, task]
-    merged = {"random_seed": seed}
-    merged.update(model_overrides or {})
+    merged = dict(model_overrides or {})
+    if "random_seed" in merged:
+        print("WARNING: ignoring 'random_seed' in model overrides; the "
+              "harness assigns one seed per trial.", file=sys.stderr)
+    merged["random_seed"] = seed  # after overrides: every trial keeps its own seed
     argv += ["--model-param-overrides", json.dumps(merged)]
     if task_overrides:
         argv += ["--task-param-overrides", json.dumps(task_overrides)]
