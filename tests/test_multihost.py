@@ -16,10 +16,22 @@ from tf_gnn_samples_tpu.parallel.multihost import (
 def test_two_process_dp_matches_single_process():
     """2 processes x 4 virtual CPU devices: the distributed DP train step
     (each process feeding only its local batches) must reproduce the
-    single-process combined-batch update."""
+    single-process combined-batch update; the same worker then drives the
+    HYBRID (dp, gp) mesh — gp=2 graph-parallel groups inside each process,
+    dp crossing the process boundary — through the task-generic GP step
+    for BOTH strategies (all-gather and halo all_to_all), asserting
+    exactness against the single-process combined weighted update on the
+    unpartitioned batches."""
     line = run_multihost_check(num_processes=2, devices_per_process=4)
     assert "MULTIHOST_OK" in line
     assert "processes=2 devices=8" in line
+    assert "hybrid_gp=2" in line
+    import re
+
+    for field in ("hybrid_allgather_diff", "hybrid_halo_diff"):
+        m = re.search(field + r"=([0-9.e+-]+)", line)
+        assert m, line
+        assert float(m.group(1)) < 1e-4, line
 
 
 def test_hybrid_mesh_orientation():

@@ -129,10 +129,144 @@ def main():
         assert n_graphs == len(samples2)
     assert losses[-1] < losses[0], losses
 
+    # Hybrid (dp, gp) mesh: gp=2 graph-parallel groups INSIDE each
+    # process, dp axis spanning the processes — the configuration the
+    # README's 2-host + graph-parallel launch actually runs. Both GP
+    # strategies (all-gather and halo all_to_all) drive the task-generic
+    # step with a cross-process dp psum; exactness is asserted against a
+    # single-process computation of the combined weighted update on the
+    # UNPARTITIONED batches.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_gnn_samples_tpu.ops.graph import bucket_size
+    from tf_gnn_samples_tpu.parallel.graph_parallel import (
+        partition_task_batch, partition_task_batch_halo,
+    )
+
+    if local % 2:
+        # gp groups must sit inside one process; an odd local device
+        # count cannot host a gp=2 group. (The driver may probe other
+        # device counts — the canonical 2x4 run exercises the hybrid.)
+        print("MULTIHOST_OK processes=%d devices=%d loss=%.6f "
+              "max_param_diff=%g epoch_losses=%.5f->%.5f hybrid=skipped"
+              % (args.num_processes, total, loss, max_diff, losses[0],
+                 losses[-1]), flush=True)
+        return
+
+    gp = 2
+    mesh_h = multihost.make_hybrid_mesh(gp=gp)
+    dp = mesh_h.shape["dp"]
+    dp_local = dp // args.num_processes
+    model3, task3, samples3 = ge._tiny_task_and_model(
+        model_name="RGCN", hidden=32, n_layers=2, seed=13
+    )
+    pool = list(task3.make_minibatch_iterator(
+        samples3, DataFold.VALIDATION,
+        model3.params["max_nodes_in_batch"] // 4,
+    ))
+    rows = unify_batch_windows(
+        [pool[i % len(pool)] for i in range(dp)]
+    )
+    n_pads = {b.graph.n_pad for b in rows}
+    assert len(n_pads) == 1, n_pads
+    n_pad = rows[0].graph.n_pad
+    e_pad_total = max(
+        bucket_size(sum(e.senders.shape[0] for e in b.graph.edges),
+                    min_size=64)
+        for b in rows
+    )
+
+    def to_global(local_leaves_stacked, lead_spec, global_rows):
+        def f(x):
+            x = np.asarray(x)
+            sharding = NamedSharding(
+                mesh_h, P(lead_spec, *([None] * (x.ndim - 1)))
+            )
+            return jax.make_array_from_process_local_data(
+                sharding, x, (global_rows,) + x.shape[1:]
+            )
+
+        return jax.tree_util.tree_map(f, local_leaves_stacked)
+
+    mine_rows = rows[args.process_id * dp_local:
+                     (args.process_id + 1) * dp_local]
+    gbatch = to_global(stack_task_batches(mine_rows), "dp", dp)
+
+    # Single-process reference: combined graph-weighted update over the
+    # dp rows' UNPARTITIONED batches (shared by both strategies).
+    n_per_row = [float(b.num_graphs) for b in rows]
+    total_graphs_ref = sum(n_per_row)
+
+    def hybrid_combined_loss(params):
+        tot = 0.0
+        for b, n_b in zip(rows, n_per_row):
+            li, _ = model3._forward(params, model3._device_batch(b), None)
+            tot = tot + li * n_b
+        return tot / total_graphs_ref
+
+    p_ref = jax.tree_util.tree_map(jnp.copy, model3.model_params_tree)
+    grads_ref = jax.jit(jax.grad(hybrid_combined_loss))(p_ref)
+    grads_ref = clip_grads_per_tensor(
+        grads_ref, model3.params["clamp_gradient_norm"]
+    )
+    lr3 = model3._effective_lr(total_graphs_ref)
+    ref_params_h, _ = model3._optimizer.update(
+        grads_ref, model3._optimizer.init(p_ref), p_ref, lr3
+    )
+    ref_params_h = jax.device_get(ref_params_h)
+
+    hybrid_diffs = {}
+    for strategy in ("allgather", "halo"):
+        if strategy == "halo":
+            halo_pad = max(
+                partition_task_batch_halo(b, gp, n_pad, e_pad_total)[3]
+                for b in rows
+            )
+            shard_rows = [
+                partition_task_batch_halo(
+                    b, gp, n_pad, e_pad_total, halo_pad_target=halo_pad
+                )[0]
+                for b in mine_rows
+            ]
+        else:
+            shard_rows = [
+                partition_task_batch(b, gp, n_pad, e_pad_total)[0]
+                for b in mine_rows
+            ]
+        # [dp_local rows of [gp, ...]] -> [dp_local * gp, ...] dp-major:
+        local_stack = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *shard_rows,
+        )
+        gshard = to_global(local_stack, ("dp", "gp"), dp * gp)
+
+        step_h = multihost.make_hybrid_gp_train_step(model3, mesh_h)
+        p0h = jax.tree_util.tree_map(jnp.copy, model3.model_params_tree)
+        o0h = model3._optimizer.init(p0h)
+        new_h, _, met_h = step_h(p0h, o0h, jax.random.PRNGKey(0),
+                                 gbatch, gshard)
+        dist_h = jax.device_get(new_h)
+        assert float(np.asarray(
+            jax.device_get(met_h["total_graphs"])
+        )) == total_graphs_ref
+        diffs_h = [
+            float(np.max(np.abs(np.asarray(a, np.float64)
+                                - np.asarray(b, np.float64))))
+            for a, b in zip(jax.tree_util.tree_leaves(dist_h),
+                            jax.tree_util.tree_leaves(ref_params_h))
+        ]
+        hybrid_diffs[strategy] = max(diffs_h)
+        assert hybrid_diffs[strategy] < 1e-4, (
+            "hybrid (dp=%d, gp=%d) %s diverged: max diff %g"
+            % (dp, gp, strategy, hybrid_diffs[strategy])
+        )
+
     print("MULTIHOST_OK processes=%d devices=%d loss=%.6f max_param_diff=%g "
-          "epoch_losses=%.5f->%.5f"
+          "epoch_losses=%.5f->%.5f hybrid_gp=%d "
+          "hybrid_allgather_diff=%g hybrid_halo_diff=%g"
           % (args.num_processes, total, loss, max_diff, losses[0],
-             losses[-1]), flush=True)
+             losses[-1], gp, hybrid_diffs["allgather"],
+             hybrid_diffs["halo"]), flush=True)
 
 
 if __name__ == "__main__":

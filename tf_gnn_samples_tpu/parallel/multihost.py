@@ -158,6 +158,95 @@ def make_multihost_dp_train_step(model, mesh: Mesh, axis_name: str = "dp"):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_hybrid_gp_train_step(model, mesh: Mesh, dp_axis: str = "dp",
+                              gp_axis: str = "gp"):
+    """Hybrid data- x graph-parallel train step over a (dp, gp) mesh.
+
+    Each dp ROW of the mesh trains its OWN packed batch whose mega-graph
+    is node-partitioned across the row's gp devices (the task-generic GP
+    semantics of parallel/graph_parallel.make_gp_task_steps: replicated
+    task input/output models around a sharded propagation). Gradients are
+    pmean-reduced over gp (the row shares one batch) and then
+    graph-weighted psum-reduced over dp (rows hold different batches) —
+    the exact composition `make_hybrid_mesh` orients for hardware: gp
+    collectives (per-layer all_gather / halo all_to_all) stay within a
+    host on ICI while the one per-step dp psum crosses hosts on DCN.
+
+    Inputs per step: `batch` leaves stacked [dp, ...] (row-replicated over
+    gp, spec P(dp)); `shard` leaves stacked [dp * gp, ...] in dp-major
+    order (spec P((dp, gp))). Metrics come back replicated (graph-weighted
+    dp-psum of the per-row values), so every process reads identical
+    results from its addressable shards."""
+    from .graph_parallel import gp_propagation_apply
+
+    clip_norm = model.params["clamp_gradient_norm"]
+    layer_name = model.layer_name
+    layer_kwargs = model.layer_kwargs()
+
+    def forward(params, shard, h0_full, rng, n_pad):
+        idx = jax.lax.axis_index(gp_axis)
+        n_local = shard.node_features.shape[0]
+        n_global = n_local * mesh.shape[gp_axis]
+        h0 = jnp.pad(h0_full, ((0, n_global - h0_full.shape[0]), (0, 0)))
+        h_local = jax.lax.dynamic_slice_in_dim(h0, idx * n_local, n_local)
+        h_local = gp_propagation_apply(
+            params["prop"], model.params, shard, h_local, gp_axis,
+            layer_name, layer_kwargs, rng=rng,
+        )
+        h_full = jax.lax.all_gather(h_local, gp_axis, axis=0, tiled=True)
+        return h_full[:n_pad]
+
+    def per_device(params, opt_state, rng, batch, shard):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+        # RNG: fold by dp row (distinct batches, like the DP step), keep
+        # input/output dropout IDENTICAL within a row (replicated heads),
+        # fold the propagation key by gp position (sharded dropout).
+        row_rng = jax.random.fold_in(rng, jax.lax.axis_index(dp_axis))
+        dev_rng = jax.random.fold_in(row_rng, jax.lax.axis_index(gp_axis))
+        rng_in, _, rng_out = jax.random.split(row_rng, 3)
+        _, _, dev_rng_prop = jax.random.split(dev_rng, 3)
+
+        def loss_fn(p):
+            feats = model.task.input_apply(p["input"], batch, rng_in)
+            h_full = forward(p, shard, feats, dev_rng_prop,
+                             batch.graph.n_pad)
+            loss, metrics = model.task.output_apply(
+                p["output"], batch, h_full, feats, rng_out
+            )
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, gp_axis)
+        num_graphs = batch.graph.num_graphs.astype(jnp.float32)
+        total_graphs = jax.lax.psum(num_graphs, dp_axis)
+        weight = num_graphs / total_graphs
+        grads = jax.lax.psum(
+            jax.tree_util.tree_map(lambda g: g * weight, grads), dp_axis
+        )
+        grads = clip_grads_per_tensor(grads, clip_norm)
+        lr = model._effective_lr(total_graphs)
+        new_params, new_opt_state = model._optimizer.update(
+            grads, opt_state, params, lr
+        )
+        red = {
+            k: jax.lax.psum(jax.lax.pmean(v, gp_axis) * weight, dp_axis)
+            for k, v in metrics.items()
+        }
+        red["total_graphs"] = total_graphs
+        return new_params, new_opt_state, red
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P(dp_axis), P((dp_axis, gp_axis))),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 # ---------------------------------------------------------------------------
 # Local multi-process validation harness (virtual CPU devices)
 # ---------------------------------------------------------------------------
