@@ -367,6 +367,67 @@ def test_rank_window_measures_spans():
     assert rank_window(r) in (16, 32)
 
 
+def test_dilute_src_stream_invariants():
+    """The diluted src stream (FlatEdges.sd_*) must (a) keep every real
+    edge exactly once in order, (b) bound every 256-block's aligned rank
+    span by the returned W, (c) keep ranks nondecreasing with fill slots
+    keyed to the dump fine row."""
+    from tf_gnn_samples_tpu.ops.graph import _dilute_src_stream
+
+    rng = np.random.RandomState(0)
+    # Mixed degrees incl. a degree-1 region that breaks plain windows.
+    degs = np.concatenate([
+        rng.randint(8, 40, size=500), np.ones(600, np.int64)])
+    ranks = np.repeat(np.arange(len(degs), dtype=np.int32), degs)
+    fine = rng.randint(0, 999, size=len(ranks)).astype(np.int32)
+    cap = -(-9 * len(ranks) // (8 * 2048)) * 2048
+    out = _dilute_src_stream(ranks, fine, cap, fine_dump=1000)
+    assert out is not None
+    sd_rank, sd_fine, w = out
+    assert sd_rank.shape == (cap,)
+    real = sd_fine != 1000
+    np.testing.assert_array_equal(sd_rank[real], ranks)
+    np.testing.assert_array_equal(sd_fine[real], fine)
+    assert np.all(np.diff(sd_rank) >= 0)
+    for s in range(0, cap, 256):
+        blk = sd_rank[s:s + 256]
+        assert int(blk[-1]) - (int(blk[0]) & ~7) + 1 <= w
+
+    # Impossible cap -> None (callers fall back to the undiluted stream).
+    assert _dilute_src_stream(ranks, fine, 2048, 1000) is None
+
+
+def test_graph_batch_sd_stream_fields():
+    """build_graph_batch emits the diluted stream with a usable window on
+    low-degree graphs where win_src collapses to 0."""
+    from tf_gnn_samples_tpu.ops.graph import pad_graph_batch, token_window
+
+    rng = np.random.RandomState(1)
+    n = 700
+    # Degree-1 chain edges (span-killers) plus a denser type.
+    adj0 = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    adj1 = rng.randint(0, n, size=(4000, 2)).astype(np.int32)
+    g = pad_graph_batch(
+        node_features=rng.randn(n, 8).astype(np.float32),
+        adjacency_lists=[adj0, adj1],
+        node_graph_ids=np.zeros(n, np.int32),
+        num_graphs=1,
+    )
+    fl = g.flat
+    assert fl.sd_rank is not None and fl.sd_fine is not None
+    w = token_window(fl.win_sd)
+    assert w in (32, 64, 128)
+    assert fl.sd_rank.shape[0] % 2048 == 0
+    # Real slots reproduce the src-sorted real prefix exactly.
+    rpad = fl.fine_to_rcv.shape[0]
+    real = np.asarray(fl.sd_fine) != rpad - 1
+    e_real = int(np.asarray(fl.mask).sum())
+    np.testing.assert_array_equal(
+        np.asarray(fl.sd_rank)[real],
+        np.asarray(fl.src_sorted_rank)[:e_real],
+    )
+
+
 @pytest.mark.parametrize("act", ["relu", "leaky_relu", "tanh"])
 def test_film_layer_fused_grads_other_acts(act, monkeypatch):
     """With the gather-fused src pass force-enabled, relu / leaky_relu

@@ -85,6 +85,19 @@ def typed_transform(h, W):
 
 
 
+def src_stream(flat):
+    """(fine_rank_by_src, src_sorted_rank, win) for the src-order backward
+    kernels: the DILUTED stream (ops/graph.py FlatEdges.sd_*) when its
+    window engaged — low-degree regions otherwise zero win_src for the
+    whole fold and force the kernels onto BE+8-wide one-hots — else the
+    undiluted stream."""
+    w = token_window(getattr(flat, "win_sd", None))
+    if w and getattr(flat, "sd_rank", None) is not None:
+        return flat.sd_fine, flat.sd_rank, w
+    return (flat.fine_rank_by_src, flat.src_sorted_rank,
+            token_window(flat.win_src))
+
+
 def compressive_window(flat) -> bool:
     """Heuristic gate for the ranked fast paths: engage only when the
     host-measured rank window actually compresses the kernels' one-hot
@@ -380,15 +393,16 @@ def rgat_apply(
                 # order from small tables instead of permuting an [E, D]
                 # stream (ops/ranked_segment.rgat_fused_pass).
                 lt_ranked = take_by_fine_rank(_flat(logit_tgt), graph)
+                sd_fine, sd_rank, win_src_eff = src_stream(flat)
                 table = rs.rgat_fused_pass(
                     _flat(t), lt_ranked, att_src,
-                    flat.src_flat, flat.fine_rank_by_src,
-                    flat.src_sorted_rank, flat.src_to_rank,
+                    flat.src_flat, sd_fine,
+                    sd_rank, flat.src_to_rank,
                     flat.src_from_rank, flat.rcv_rank, flat.tgt_rank,
                     flat.mask, flat.fine_to_rcv, graph.node_to_rank,
                     num_heads, n_pad, 256,
                     token_window(flat.win_fine),
-                    token_window(flat.win_src),
+                    win_src_eff,
                 )
                 h = act(ranked_table_to_nodes(table, graph))
                 continue
@@ -568,12 +582,13 @@ def gnn_film_apply(
                 # ~325M rows/s either way (alignment only matters for the
                 # isolated op), the simplifier narrows padded gathers back
                 # unless barriered, and the [E, 3D] stream grows 20%.
+                sd_fine, sd_rank, win_src_eff = src_stream(flat_g)
                 table = rs.film_fused_src_pass(
                     t_flat, gb_ranked, flat_g.src_flat,
-                    flat_g.fine_rank_by_src, flat_g.src_sorted_rank,
+                    sd_fine, sd_rank,
                     flat_g.src_to_rank, flat_g.src_from_rank,
                     flat_g.tgt_rank, act_name, 256,
-                    win, token_window(flat_g.win_src),
+                    win, win_src_eff,
                 )
                 agg = fine_table_to_nodes(table, graph)
                 h = layer_norm(params["ln"], agg)
@@ -1049,12 +1064,13 @@ def gnn_edge_mlp_apply(
                     and rs.film_fused_src_supported(
                         act_name0, e_tot, d0, gb_ranked.shape[0],
                         flat_g.src_from_rank.shape[0])):
+                sd_fine, sd_rank, win_src_eff = src_stream(flat_g)
                 table = rs.film_fused_src_pass(
                     ts16, gb_ranked, flat_g.src_flat,
-                    flat_g.fine_rank_by_src, flat_g.src_sorted_rank,
+                    sd_fine, sd_rank,
                     flat_g.src_to_rank, flat_g.src_from_rank,
                     flat_g.tgt_rank, act_name0, 256,
-                    win, token_window(flat_g.win_src),
+                    win, win_src_eff,
                 )
             else:
                 m = gather_flat_src(ts16, graph.flat)

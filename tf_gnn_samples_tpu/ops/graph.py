@@ -127,6 +127,22 @@ class FlatEdges(NamedTuple):
     # kernels build a VMEM-resident rank-ordered message table with one
     # small row take (ranked_segment.film_fused_src_pass).
     src_from_rank: jnp.ndarray = None  # [R_src] int32
+    # DILUTED src-sorted stream (round 5): the REAL edges of the src
+    # stream re-blocked with inert fill slots so that EVERY 256-edge
+    # sub-block's aligned rank span fits a small window — low-degree
+    # regions (deg-1 sources span ~256 ranks per block) otherwise zero
+    # the whole stream's win_src and force the src-order backward kernels
+    # onto the 8x-wider BE+8 one-hots. Fill slots repeat the previous
+    # rank (keeps ranks nondecreasing + gap-free, contributes +0 to the
+    # rank table) and point their fine rank at a SLACK fine row whose
+    # cotangent is structurally zero, so kernels need no positional
+    # masking. Slot budget: ceil(9/8 * E_tot) rounded to the kernel STEP
+    # (measured dilution cost ~1.05-1.11x at PPI shapes); win_sd length-1
+    # means dilution did not fit and consumers fall back to the
+    # undiluted stream.
+    sd_rank: jnp.ndarray = None  # [E_sd] int32
+    sd_fine: jnp.ndarray = None  # [E_sd] int32
+    win_sd: jnp.ndarray = None  # [W] uint8 zeros
     # TYPE-MAJOR stream view: the same edges in per-type-block order (the
     # pre-receiver-sort concatenation of the canonical EdgeBlocks). Within
     # this order the per-type segments are CONTIGUOUS with static offsets
@@ -249,6 +265,48 @@ def _win_token(win: int) -> np.ndarray:
     return np.zeros((win if win else 1,), dtype=np.uint8)
 
 
+def _dilute_src_stream(ranks_real: np.ndarray, fine_real: np.ndarray,
+                       cap: int, fine_dump: int, block: int = 256):
+    """Re-block a sorted gap-free rank stream with inert fill slots so
+    every `block`-edge sub-block's aligned span fits the smallest
+    W in {32, 64, 128} within the `cap` slot budget (see
+    FlatEdges.sd_rank). Returns (sd_rank, sd_fine, W) of length exactly
+    `cap`, or None if no W fits. Fill slots repeat the previous rank and
+    key `fine_dump` (a zero-cotangent fine row)."""
+    e = int(ranks_real.shape[0])
+    if e == 0 or cap < block:
+        return None
+    for W in (32, 64, 128):
+        pieces = []
+        i = 0
+        n_blocks = 0
+        ok = True
+        while i < e:
+            bs = int(ranks_real[i]) & ~7
+            j = int(np.searchsorted(ranks_real, bs + W, side="left"))
+            take = min(block, j - i)
+            assert take >= 1
+            pieces.append((i, take))
+            i += take
+            n_blocks += 1
+            if n_blocks * block > cap:
+                ok = False
+                break
+        if not ok:
+            continue
+        sd_rank = np.empty((cap,), np.int32)
+        sd_fine = np.full((cap,), fine_dump, np.int32)
+        pos = 0
+        for i0, take in pieces:
+            sd_rank[pos:pos + take] = ranks_real[i0:i0 + take]
+            sd_fine[pos:pos + take] = fine_real[i0:i0 + take]
+            sd_rank[pos + take:pos + block] = ranks_real[i0 + take - 1]
+            pos += block
+        sd_rank[pos:] = ranks_real[e - 1]
+        return sd_rank, sd_fine, W
+    return None
+
+
 def _merge_windows(a: int, b: int) -> int:
     """Combine two window bounds: 0 (no window) dominates."""
     return max(a, b) if (a and b) else 0
@@ -272,6 +330,11 @@ def unify_flat_windows(flats: Sequence["FlatEdges"]):
     fields = ["win_fine", "win_src", "win_tgt"]
     if getattr(flats[0], "win_tm", None) is not None:
         fields.append("win_tm")
+    # win_sd: enlarging is safe (every diluted block's span fits its own
+    # measured W <= the max); any fallback batch (length-1 token) pulls
+    # the whole set back to the undiluted path.
+    if getattr(flats[0], "win_sd", None) is not None:
+        fields.append("win_sd")
     new = {f: merged(f) for f in fields}
     if all(
         getattr(f, k) is not None and getattr(f, k).shape == v.shape
@@ -468,6 +531,31 @@ def pad_graph_batch(
         real_f = is_new_f & (tgt_sorted < L * n_pad)
         fine_from_flat[tgt_sorted[real_f]] = tgt_rank[real_f]
 
+    # Diluted src stream (FlatEdges.sd_*): real edges are the src-sorted
+    # prefix (padded edges carry the L*n_pad sentinel and sort last).
+    # Shapes are uniform at the cap so batches of a fold share one pytree
+    # shape whether or not dilution succeeded; win_sd length 1 marks
+    # fallback.
+    fine_by_src_full = (tgt_rank[perm_by_src] if e_tot
+                        else np.zeros((0,), np.int32))
+    n_real_src = int((all_msk > 0).sum())
+    cap_sd = -(-9 * e_tot // (8 * 2048)) * 2048 if e_tot else 0
+    dil = _dilute_src_stream(
+        src_sorted_rank[:n_real_src], fine_by_src_full[:n_real_src],
+        cap_sd, rpad - 1,
+    ) if e_tot else None
+    if dil is not None:
+        sd_rank, sd_fine, w_sd = dil
+        win_sd = _win_token(w_sd)
+    else:
+        sd_rank = np.zeros((cap_sd,), np.int32)
+        sd_fine = np.full((cap_sd,), max(rpad - 1, 0), np.int32)
+        if e_tot:
+            sd_rank[:e_tot] = src_sorted_rank
+            sd_rank[e_tot:] = src_sorted_rank[-1]
+            sd_fine[:e_tot] = fine_by_src_full
+        win_sd = _win_token(0)
+
     # TYPE-MAJOR stream view (see FlatEdges.tm_*): the pre-sort
     # concatenation order. Group ranks over tgt_flat are gap-free and
     # nondecreasing because each type block is receiver-sorted with its
@@ -531,6 +619,9 @@ def pad_graph_batch(
                                            rank_window(rcv_rank))),
         win_src=_win_token(rank_window(src_sorted_rank)),
         win_tgt=_win_token(rank_window(tgt_sorted_rank)),
+        sd_rank=sd_rank,
+        sd_fine=sd_fine,
+        win_sd=win_sd,
         fine_to_flat=fine_to_flat,
         fine_to_rcv=fine_to_rcv,
         fine_rank_by_src=tgt_rank[perm_by_src],

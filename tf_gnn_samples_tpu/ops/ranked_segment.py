@@ -58,6 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 STEP = 2048  # edges per grid step; divides every bucketed flat stream
 
+# Dot-block group caps (see _dot_group): A/B-measured on v5e at PPI bench
+# shapes (tools/film_fwd_ab.py, round 5) — the fwd/mask kernels win ~10%
+# at group 4; the dgb kernel's larger slabs gain less and regress past 2.
+FWD_DOT_GROUP_CAP = 4
+DGB_DOT_GROUP_CAP = 2
+
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
 
@@ -170,6 +176,53 @@ def _local_onehot_t(ranks_row, start, rl: int, be: int):
     return (lr[:, None] == iota_r).astype(jnp.bfloat16)
 
 
+def _dot_group(win: int, be: int, cap: int) -> int:
+    """Dot-block group size: merge `group` consecutive BE-edge rank rows
+    into ONE expand dot + ONE accumulate dot + ONE table RMW over the
+    union window group*win (a static bound: consecutive aligned starts
+    advance by < win). Fewer, larger MXU ops amortize the per-dot issue
+    latency the round-4 roofline measured as the fwd/dgb kernels' ~2x
+    overhead; the table slack (be + 8 rows, rank_table_rows) bounds the
+    legal union window. Bit-exact vs group=1: each output row still
+    accumulates its edges in stream order."""
+    if not win:
+        return 1
+    g = 1
+    while g < cap and 2 * g * win <= be + 8:
+        g *= 2
+    return g
+
+
+def _grouped_onehot_t(rank_ref, row0: int, group: int, start, rl: int,
+                      be: int):
+    """[group*BE, group*rl] edge-major one-hot over a dot-block: built via
+    a 3-D compare whose leading-dims reshape is layout-free (lanes stay
+    the window dim)."""
+    if group == 1:
+        return _local_onehot_t(rank_ref[row0, :], start, rl, be)
+    lr = rank_ref[row0:row0 + group, :] - start  # [group, BE]
+    iota_t = jax.lax.broadcasted_iota(
+        jnp.int32, (group, be, group * rl), 2)
+    return (lr[:, :, None] == iota_t).reshape(
+        group * be, group * rl).astype(jnp.bfloat16)
+
+
+def _grouped_onehot(rank_ref, row0: int, group: int, start, rl: int,
+                    be: int):
+    """[group*rl, group*BE] window-major one-hot: ranks land on the LANE
+    axis via a row concat (cheap int32 lane copies), then one 2-D
+    compare."""
+    if group == 1:
+        return _local_onehot(rank_ref[row0, :], start, rl, be)
+    lr_row = jnp.concatenate(
+        [rank_ref[row0 + r:row0 + r + 1, :] for r in range(group)],
+        axis=1,
+    ) - start  # [1, group*BE]
+    iota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (group * rl, group * be), 0)
+    return (lr_row == iota_r).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Kernel bodies
 # ---------------------------------------------------------------------------
@@ -265,27 +318,29 @@ def _wseg_bwd_kernel(start_ref, rank_ref, msg_ref, w_ref, g_ref,
 
 
 def _film_fwd_kernel(start_ref, rank_ref, msg_ref, gb_ref, out_ref,
-                     *, be, rl, sub, d, act):
+                     *, be, rl, sub, d, act, group=1):
     c = pl.program_id(0)
+    bd, rlg = group * be, group * rl
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        gb_slab = gb_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        gb_slab = gb_ref[pl.ds(start, rlg), :].astype(jnp.bfloat16)
         gb_e = jnp.dot(
             oh_t, gb_slab, preferred_element_type=jnp.float32,
-        )  # [BE, 2D]
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        )  # [BD, 2D]
+        m = msg_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         z = gb_e[:, :d] * m + gb_e[:, d:]
         a = act(z).astype(jnp.bfloat16)
         contrib = jnp.dot(oh, a, preferred_element_type=jnp.float32)
-        cur = out_ref[pl.ds(start, rl), :]
-        out_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = out_ref[pl.ds(start, rlg), :]
+        out_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
 _MASK_GROUP = 16  # mask bits packed per f32/int32 lane (exact in f32)
@@ -328,68 +383,73 @@ def _mask_unpack(packed_f, d: int):
 
 
 def _film_fwd_mask_kernel(start_ref, rank_ref, msg_ref, gb_ref, out_ref,
-                          mask_ref, *, be, rl, sub, d, act):
+                          mask_ref, *, be, rl, sub, d, act, group=1):
     """Forward FiLM kernel that additionally emits the packed activation
     mask (z > 0) per edge — the backward dt path reconstructs act'(z)
     from it in SOURCE-sorted order without permuting any [E, D] stream
     (relu / leaky_relu: act' is a function of the mask alone)."""
     c = pl.program_id(0)
     pck = _mask_pack_matrix(d)
+    bd, rlg = group * be, group * rl
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        gb_slab = gb_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        gb_slab = gb_ref[pl.ds(start, rlg), :].astype(jnp.bfloat16)
         gb_e = jnp.dot(
             oh_t, gb_slab, preferred_element_type=jnp.float32,
-        )  # [BE, 2D]
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        )  # [BD, 2D]
+        m = msg_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         z = gb_e[:, :d] * m + gb_e[:, d:]
         mask01 = (z > 0).astype(jnp.float32)
-        mask_ref[pl.ds(s * be, be), :] = jnp.dot(
+        mask_ref[pl.ds(row0 * be, bd), :] = jnp.dot(
             mask01, pck, preferred_element_type=jnp.float32,
         )
         a = act(z).astype(jnp.bfloat16)
         contrib = jnp.dot(oh, a, preferred_element_type=jnp.float32)
-        cur = out_ref[pl.ds(start, rl), :]
-        out_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = out_ref[pl.ds(start, rlg), :]
+        out_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
 def _film_bwd_dgb_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
-                         dgb_ref, *, be, rl, sub, d, dact):
+                         dgb_ref, *, be, rl, sub, d, dact, group=1):
     """d_gamma|d_beta half of the FiLM backward (no d_msgs stream — the
     masked src-order path computes dt without it)."""
     c = pl.program_id(0)
+    bd, rlg = group * be, group * rl
 
     @pl.when(c == 0)
     def _():
         dgb_ref[:] = jnp.zeros_like(dgb_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        slab = gbg_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        slab = gbg_ref[pl.ds(start, rlg), :].astype(jnp.bfloat16)
         e_vals = jnp.dot(
             oh_t, slab, preferred_element_type=jnp.float32,
-        )  # [BE, 3D] = gamma | beta | g
+        )  # [BD, 3D] = gamma | beta | g
         gamma, beta, g = e_vals[:, :d], e_vals[:, d:2 * d], e_vals[:, 2 * d:]
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        m = msg_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         z = gamma * m + beta
         dz = dact(z) * g
-        dgamma_e = (m * dz).astype(jnp.bfloat16)
-        dbeta_e = dz.astype(jnp.bfloat16)
-        contrib = jnp.dot(
-            oh, jnp.concatenate([dgamma_e, dbeta_e], axis=1),
-            preferred_element_type=jnp.float32,
-        )
-        cur = dgb_ref[pl.ds(start, rl), :]
-        dgb_ref[pl.ds(start, rl), :] = cur + contrib
+        # Two accumulate dots instead of concat + one: the [BD, 2D] bf16
+        # concat is a pure VMEM copy (A/B-measured ~5% of the kernel).
+        cg = jnp.dot(oh, (m * dz).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        cb = jnp.dot(oh, dz.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        cur = dgb_ref[pl.ds(start, rlg), :]
+        dgb_ref[pl.ds(start, rlg), :d] = cur[:, :d] + cg
+        dgb_ref[pl.ds(start, rlg), d:] = cur[:, d:] + cb
 
 
 def _masked_segsum_kernel(start_ref, rank_ref, mask_ref, c_ref, out_ref,
@@ -418,7 +478,7 @@ def _masked_segsum_kernel(start_ref, rank_ref, mask_ref, c_ref, out_ref,
 
 
 def _film_src_bwd_kernel(start_ref, rank_ref, gcb_ref, t_ref, dt_ref,
-                         *, be, rl, sub, d, dact):
+                         *, be, rl, sub, d, dact, group=1):
     """dt half of the FiLM backward over the SOURCE-sorted stream.
 
     Recomputes z = gamma * m + beta in source order — m expanded in-VMEM
@@ -429,23 +489,25 @@ def _film_src_bwd_kernel(start_ref, rank_ref, gcb_ref, t_ref, dt_ref,
     gathered by XLA from a small fine-rank table; nothing [E, D]-shaped is
     ever permuted or transported between edge orders."""
     c = pl.program_id(0)
+    bd, rlg = group * be, group * rl
 
     @pl.when(c == 0)
     def _():
         dt_ref[:] = jnp.zeros_like(dt_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        t_slab = t_ref[pl.ds(start, rl), :]  # bf16 [RL, D]
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        t_slab = t_ref[pl.ds(start, rlg), :]  # bf16 [RLG, D]
         m = jnp.dot(oh_t, t_slab, preferred_element_type=jnp.float32)
-        gcb = gcb_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        gcb = gcb_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         z = gcb[:, :d] * m + gcb[:, d:2 * d]
         dmsg = (dact(z) * gcb[:, 2 * d:]).astype(jnp.bfloat16)
         contrib = jnp.dot(oh, dmsg, preferred_element_type=jnp.float32)
-        cur = dt_ref[pl.ds(start, rl), :]
-        dt_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = dt_ref[pl.ds(start, rlg), :]
+        dt_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
 def _film_bwd_kernel(start_ref, rank_ref, msg_ref, gbg_ref,
@@ -1515,7 +1577,8 @@ def _film_fwd_impl(msgs, gb_table, ranks, *, block_edges, act, win=0):
     assert gb_table.shape == (rpad, 2 * dim), (gb_table.shape, rpad, dim)
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_fwd_kernel, be=be, rl=rl, sub=sub, d=dim,
-                             act=_ACTS[act][0])
+                             act=_ACTS[act][0],
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -1580,7 +1643,8 @@ def _film_fwd_mask_impl(msgs, gb_table, ranks, *, block_edges, act, win=0):
     mlanes = _mask_lanes(dim)
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_fwd_mask_kernel, be=be, rl=rl, sub=sub,
-                             d=dim, act=_ACTS[act][0])
+                             d=dim, act=_ACTS[act][0],
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -1613,7 +1677,8 @@ def _film_bwd_dgb_impl(msgs, gbg_table, ranks, *, block_edges, act, win=0):
     rpad = gbg_table.shape[0]
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_bwd_dgb_kernel, be=be, rl=rl, sub=sub,
-                             d=dim, dact=_ACTS[act][1])
+                             d=dim, dact=_ACTS[act][1],
+                             group=_dot_group(win, be, DGB_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -1671,7 +1736,8 @@ def _film_src_bwd_impl(gcb_src, t_ranked, ranks, *, table_rows, block_edges,
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_film_src_bwd_kernel, be=be, rl=rl, sub=sub,
-                             d=dim, dact=_ACTS[act][1])
+                             d=dim, dact=_ACTS[act][1],
+                             group=_dot_group(win, be, DGB_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -1871,8 +1937,8 @@ def _wseg_t_dw_impl(msgs, g16, ranks, *, num_heads, block_edges, win=0):
     )(starts, blocks, msgs, g16)
 
 
-def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
-                         dt_ref, *, be, rl, sub, d, k, clamp):
+def _rgat_src_bwd_kernel(start_ref, rank_ref, gcb_ref, t_ref,
+                         dt_ref, *, be, rl, sub, d, k, clamp, group=1):
     """dt + per-src-rank dpre-sum halves of the RGAT backward over the
     SOURCE-sorted edge stream.
 
@@ -1898,21 +1964,22 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
     7.8 ms/layer cotangent permute at PPI scale)."""
     c = pl.program_id(0)
     rep = _head_replicate_matrix(k, d)  # [K, D]
-    e_real = ereal_ref[0]
 
     @pl.when(c == 0)
     def _():
         dt_ref[:] = jnp.zeros_like(dt_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        mt = jnp.dot(oh_t, t_ref[pl.ds(start, rl), :],
-                     preferred_element_type=jnp.float32)  # [BE, D+K]
+    bd, rlg = group * be, group * rl
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        mt = jnp.dot(oh_t, t_ref[pl.ds(start, rlg), :],
+                     preferred_element_type=jnp.float32)  # [BD, D+K]
         m = mt[:, :d]
         lsrc = mt[:, d:]
-        gcb = gcb_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        gcb = gcb_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         dagg = gcb[:, :d]
         lt = gcb[:, d:d + k]
         den = gcb[:, d + k:d + 2 * k]
@@ -1931,29 +1998,25 @@ def _rgat_src_bwd_kernel(start_ref, rank_ref, ereal_ref, gcb_ref, t_ref,
         # recompute must apply the same indicator to stay VJP-exact.
         dlog = dlog * (jnp.abs(logit) < clamp).astype(jnp.float32)
         dpre = jnp.where(pre > 0, dlog, 0.2 * dlog)
-        # Padded edges (contiguous tail of the src-sorted stream) must
-        # reach neither table (their type/rank decode is garbage).
-        eidx = c * STEP + s * be + jax.lax.broadcasted_iota(
-            jnp.int32, (be, 1), 0
-        )
-        live = (eidx < e_real).astype(jnp.float32)
-        dpre = dpre * live
+        # Padded edges and dilution fill slots need no positional mask:
+        # their fine rank keys a zero side row (dagg = den = s_cor = 0),
+        # so dmsg and dpre are exactly zero (see _rgat_vjp_bwd cof).
         attn_rep = jnp.dot(attn, rep, preferred_element_type=jnp.float32)
-        dmsg = attn_rep * dagg * live
+        dmsg = attn_rep * dagg
         # ONE accumulation dot and ONE RMW per sub-block: the thin dpre
         # columns ride the dt table as K extra lanes (a second windowed
         # RMW table measured +2.5 ms/layer of serialization).
         both = jnp.concatenate(
             [dmsg.astype(jnp.bfloat16), dpre.astype(jnp.bfloat16)], axis=1
-        )  # [BE, D+K]
+        )  # [BD, D+K]
         contrib = jnp.dot(oh, both, preferred_element_type=jnp.float32)
-        cur = dt_ref[pl.ds(start, rl), :]
-        dt_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = dt_ref[pl.ds(start, rlg), :]
+        dt_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
 @functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
                                              "block_edges", "clamp", "win"))
-def _rgat_src_bwd_impl(gcb_src, t_ext, e_real,
+def _rgat_src_bwd_impl(gcb_src, t_ext,
                        ranks, *, table_rows, num_heads, block_edges,
                        clamp, win=0):
     """t_ext: [R_src, D + K] bf16 — src-rank message rows with their
@@ -1968,12 +2031,12 @@ def _rgat_src_bwd_impl(gcb_src, t_ext, e_real,
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_rgat_src_bwd_kernel, be=be, rl=rl, sub=sub,
-                             d=dim, k=k, clamp=clamp)
+                             d=dim, k=k, clamp=clamp,
+                             group=_dot_group(win, be, DGB_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
         in_specs=_common_specs(sub, be) + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # e_real scalar
             pl.BlockSpec((STEP, dim + 3 * k), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # t|lsrc table resident
@@ -1983,7 +2046,7 @@ def _rgat_src_bwd_impl(gcb_src, t_ext, e_real,
         compiler_params=_params(
             table_rows * _ceil_mult(dim + k, 128) * (2 + 4)),
         interpret=_interpret(),
-    )(starts, blocks, e_real, gcb_src, t_ext)
+    )(starts, blocks, gcb_src, t_ext)
 
 
 def rgat_fused_supported(num_edges: int, dim: int, num_heads: int,
@@ -2129,7 +2192,16 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
 
     # Source-order half: one [RPAD, D+3K] bf16 side table holding every
     # receiver-keyed value an edge needs, gathered per src-sorted edge.
-    cof = jnp.take(node_to_rank, jnp.minimum(fine_to_rcv, n_pad - 1))
+    # Dump fine ranks (fine_to_rcv == n_pad: padded edges AND the diluted
+    # stream's fill slots) read the coarse table's LAST slack row — whose
+    # cotangent/denominator/correction are structurally zero — so their
+    # dmsg and dpre vanish without any positional masking (the kernel
+    # needs no e_real tail bound, which the diluted stream's interleaved
+    # fill slots would break anyway).
+    cof = jnp.where(
+        fine_to_rcv >= n_pad, rows - 1,
+        jnp.take(node_to_rank, jnp.minimum(fine_to_rcv, n_pad - 1)),
+    )
     side = jnp.concatenate([
         jnp.take(g16, cof, axis=0),
         lt_table.astype(jnp.bfloat16),
@@ -2138,9 +2210,8 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
     ], axis=1)  # [RPAD, D+3K]
     gcb_src = jnp.take(side, fine_rank_by_src, axis=0, mode="clip")
     t_rank_ext = jnp.take(t_ext, src_from_rank, axis=0, mode="clip")
-    e_real = jnp.sum(edge_mask).astype(jnp.int32).reshape(1)
     dtp = _rgat_src_bwd_impl(
-        gcb_src, t_rank_ext, e_real,
+        gcb_src, t_rank_ext,
         src_sorted_rank, table_rows=src_from_rank.shape[0],
         num_heads=k, block_edges=block_edges, clamp=clamp, win=win_src,
     )
