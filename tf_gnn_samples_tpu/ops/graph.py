@@ -539,7 +539,12 @@ def pad_graph_batch(
     fine_by_src_full = (tgt_rank[perm_by_src] if e_tot
                         else np.zeros((0,), np.int32))
     n_real_src = int((all_msk > 0).sum())
-    cap_sd = -(-9 * e_tot // (8 * 2048)) * 2048 if e_tot else 0
+    # Cap at 1.03x the flat stream: the sd-stream gather is ROW-rate
+    # bound, so every fill row costs like a real one — measured dilution
+    # needs ~1.05-1.11x the REAL edges, which the flat stream's own
+    # padding slack usually absorbs; tight folds degrade to a wider W or
+    # the undiluted fallback instead of paying 12% extra rows.
+    cap_sd = -(-103 * e_tot // (100 * 2048)) * 2048 if e_tot else 0
     dil = _dilute_src_stream(
         src_sorted_rank[:n_real_src], fine_by_src_full[:n_real_src],
         cap_sd, rpad - 1,
