@@ -215,6 +215,50 @@ def bench_varmisuse_family(model_name: str, data_dir: str):
             "compile_s": compile_s, "step_ms": step_s * 1e3}
 
 
+def run_varmisuse_host(n_train: int = 400):
+    """Host-side VarMisuse pipeline bench (no device): parse samples/s of
+    the streaming loader vs `streaming_parse_workers`, and parse+pack
+    samples/s through the real minibatch iterator. This is the number
+    that bounds at-scale training on direct-attached hardware (the
+    device step is faster than the host parse there); run it with
+    JAX_PLATFORMS=cpu — nothing touches an accelerator."""
+    import time
+
+    from tf_gnn_samples_tpu.tasks.base import DataFold
+    from tf_gnn_samples_tpu.tasks.varmisuse import VarMisuse_Task
+
+    data_dir = tempfile.mkdtemp(prefix="vm_host_")
+    make_synthetic_varmisuse(data_dir, n_train=n_train)
+    n_cpu = os.cpu_count() or 1
+    workers = sorted({1, 4, n_cpu})
+    print("cpus=%d, %d train samples in %d shards"
+          % (n_cpu, n_train, -(-n_train // 50)), flush=True)
+    for w in workers:
+        task_params = VarMisuse_Task.default_params()
+        task_params.update({
+            "streaming_train_data": True,
+            "streaming_parse_workers": w,
+        })
+        task = VarMisuse_Task(task_params)
+        task.load_data(data_dir)
+        data = task._loaded_data[DataFold.TRAIN]
+
+        # Parse-only: drain the sample stream (includes subtoken graph
+        # augmentation, char encoding, dedup — the per-sample ~30 ms).
+        t0 = time.time()
+        n = sum(1 for _ in data.iter_samples(shuffle=False))
+        parse_s = time.time() - t0
+        # Parse + pack: the full host path the epoch driver consumes.
+        t0 = time.time()
+        nb = 0
+        for b in task.make_minibatch_iterator(data, DataFold.TRAIN, 60000):
+            nb += 1
+        pack_s = time.time() - t0
+        print("workers=%-2d  parse %6.1f samples/s (%.1f s)  |  "
+              "parse+pack %6.1f samples/s (%d batches)"
+              % (w, n / parse_s, parse_s, n / pack_s, nb), flush=True)
+
+
 def run_varmisuse_families(names):
     data_dir = tempfile.mkdtemp(prefix="vm_bench_")
     make_synthetic_varmisuse(data_dir)
@@ -321,6 +365,10 @@ def main():
         which = (sys.argv[2].split(",") if len(sys.argv) > 2
                  else list(FAMILY_HYPERS))
         run_families(which)
+        return 0
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--varmisuse-host":
+        run_varmisuse_host()
         return 0
 
     if len(sys.argv) > 1 and sys.argv[1] == "--varmisuse":

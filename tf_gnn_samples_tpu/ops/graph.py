@@ -277,14 +277,21 @@ def _dilute_src_stream(ranks_real: np.ndarray, fine_real: np.ndarray,
     if e == 0 or cap < block:
         return None
     for W in (32, 64, 128):
+        # One vectorized searchsorted: limit[i] = first index whose rank
+        # falls outside the aligned window starting at ranks[i] (a
+        # per-block scalar call here measured 170 us each — numpy casts
+        # the whole array per mixed-dtype call — ~1 s/batch of pure
+        # packing overhead at VarMisuse scale).
+        limit = np.searchsorted(
+            ranks_real, (ranks_real & ~np.int32(7)) + np.int32(W),
+            side="left",
+        )
         pieces = []
         i = 0
         n_blocks = 0
         ok = True
         while i < e:
-            bs = int(ranks_real[i]) & ~7
-            j = int(np.searchsorted(ranks_real, bs + W, side="left"))
-            take = min(block, j - i)
+            take = min(block, int(limit[i]) - i)
             assert take >= 1
             pieces.append((i, take))
             i += take
