@@ -31,12 +31,20 @@ SCRAPE = {
 }
 
 
+def property_subset(spec):
+    """Comma-separated --properties filter (harness extension; names from
+    PROPERTIES). Returns task ids; default = all 13."""
+    if not spec:
+        return list(range(len(PROPERTIES)))
+    return [PROPERTIES.index(name) for name in spec.split(",")]
+
+
 def build_grid(args):
     import json as _json
     overrides = (_json.loads(args.model_param_overrides)
                  if args.model_param_overrides else None)
     for model in model_subset(args.models):
-        for prop_id in range(len(PROPERTIES)):
+        for prop_id in property_subset(args.properties):
             for seed in range(1, 1 + int(args.num_runs)):
                 yield Trial(
                     argv=train_argv(model, "QM9", seed=seed, quiet=False,
@@ -63,7 +71,8 @@ def main(args):
     )
     row_layout = "%7s " + "&% 35s " * len(models) + "\\\\"
     print(row_layout % tuple([""] + list(models)))
-    for prop_id, prop in enumerate(PROPERTIES):
+    for prop_id in property_subset(args.properties):
+        prop = PROPERTIES[prop_id]
         cells = []
         for model in models:
             hits = [r for r in results if r.tag[:2] == (model, prop_id)]
@@ -87,6 +96,9 @@ if __name__ == "__main__":
     parser.add_argument("--models", default=None,
                         help="Comma-separated subset of models to run "
                              "(extension; default = the reference's full list).")
+    parser.add_argument("--properties", default=None,
+                        help="Comma-separated subset of property names "
+                             "(extension; default = all 13).")
     parser.add_argument("--model-param-overrides", default=None,
                         help="JSON model-param overrides applied to every "
                              "run (extension; e.g. the small-fold recipe "
