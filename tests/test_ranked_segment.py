@@ -374,6 +374,8 @@ def test_dilute_src_stream_invariants():
     keyed to the dump fine row."""
     from tf_gnn_samples_tpu.ops.graph import _dilute_src_stream
 
+    from tf_gnn_samples_tpu.ops.graph import SD_FILL
+
     rng = np.random.RandomState(0)
     # Mixed degrees incl. a degree-1 region that breaks plain windows.
     degs = np.concatenate([
@@ -381,11 +383,11 @@ def test_dilute_src_stream_invariants():
     ranks = np.repeat(np.arange(len(degs), dtype=np.int32), degs)
     fine = rng.randint(0, 999, size=len(ranks)).astype(np.int32)
     cap = -(-9 * len(ranks) // (8 * 2048)) * 2048
-    out = _dilute_src_stream(ranks, fine, cap, fine_dump=1000)
+    out = _dilute_src_stream(ranks, [fine], cap)
     assert out is not None
-    sd_rank, sd_fine, w = out
+    sd_rank, (sd_fine,), w = out
     assert sd_rank.shape == (cap,)
-    real = sd_fine != 1000
+    real = sd_fine != SD_FILL
     np.testing.assert_array_equal(sd_rank[real], ranks)
     np.testing.assert_array_equal(sd_fine[real], fine)
     assert np.all(np.diff(sd_rank) >= 0)
@@ -394,7 +396,7 @@ def test_dilute_src_stream_invariants():
         assert int(blk[-1]) - (int(blk[0]) & ~7) + 1 <= w
 
     # Impossible cap -> None (callers fall back to the undiluted stream).
-    assert _dilute_src_stream(ranks, fine, 2048, 1000) is None
+    assert _dilute_src_stream(ranks, [fine], 2048) is None
 
 
 def test_graph_batch_sd_stream_fields():
@@ -413,18 +415,24 @@ def test_graph_batch_sd_stream_fields():
         node_graph_ids=np.zeros(n, np.int32),
         num_graphs=1,
     )
+    from tf_gnn_samples_tpu.ops.graph import SD_FILL
+
     fl = g.flat
     assert fl.sd_rank is not None and fl.sd_fine is not None
     w = token_window(fl.win_sd)
     assert w in (32, 64, 128)
     assert fl.sd_rank.shape[0] % 2048 == 0
     # Real slots reproduce the src-sorted real prefix exactly.
-    rpad = fl.fine_to_rcv.shape[0]
-    real = np.asarray(fl.sd_fine) != rpad - 1
+    real = np.asarray(fl.sd_fine) != SD_FILL
     e_real = int(np.asarray(fl.mask).sum())
     np.testing.assert_array_equal(
         np.asarray(fl.sd_rank)[real],
         np.asarray(fl.src_sorted_rank)[:e_real],
+    )
+    # sd_coarse mirrors the coarse receiver rank in src order.
+    np.testing.assert_array_equal(
+        np.asarray(fl.sd_coarse)[real],
+        np.asarray(fl.rcv_rank)[np.asarray(fl.perm_by_src)][:e_real],
     )
 
 

@@ -458,8 +458,8 @@ def aggregate_flat_ranked(messages, graph, aggregation: str,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _gather_segsum(table_flat, src_flat, rcv_rank, perm_by_src,
-                   src_sorted_rank, src_to_rank, win_fine_tok, win_src_tok,
+def _gather_segsum(table_flat, src_flat, rcv_rank, coarse_by_src,
+                   src_stream_rank, src_to_rank, win_fine_tok, win_src_tok,
                    rows, src_rows, block_edges):
     """take(table_flat)[src] -> streaming coarse-rank segment-sum, with a
     SOURCE-ORDER backward: because the forward aggregation is a plain
@@ -470,7 +470,12 @@ def _gather_segsum(table_flat, src_flat, rcv_rank, perm_by_src,
     re-gathers it per edge from the SMALL [rows, D] table cotangent
     (~325M rows/s) and runs the windowed src-rank segment-sum directly.
     Dump-rank rows of the table cotangent are zero (ranked_table_to_nodes
-    only takes real ranks), so padded edges contribute nothing."""
+    only takes real ranks), so padded edges (and any diluted-stream fill
+    slots, whose SD_FILL coarse keys clamp to the slack last row)
+    contribute nothing. `coarse_by_src` / `src_stream_rank` are the
+    src-order backward stream — the DILUTED sd_coarse / sd_rank when the
+    fold's window engaged, else the undiluted equivalents (see
+    _src_bwd_stream)."""
     from .graph import token_window
     from .ranked_segment import ranked_segment_sum_table
 
@@ -480,18 +485,32 @@ def _gather_segsum(table_flat, src_flat, rcv_rank, perm_by_src,
     )
 
 
-def _gather_segsum_fwd(table_flat, src_flat, rcv_rank, perm_by_src,
-                       src_sorted_rank, src_to_rank, win_fine_tok,
+def _src_bwd_stream(flat):
+    """(coarse_by_src, stream_rank, win_tok) for src-order backward
+    segment-sums: the diluted stream when its window engaged (see
+    ops/graph.py FlatEdges.sd_*), else the undiluted stream with the
+    coarse rank recovered via an in-jit take."""
+    from .graph import token_window
+
+    if (token_window(getattr(flat, "win_sd", None))
+            and getattr(flat, "sd_coarse", None) is not None):
+        return flat.sd_coarse, flat.sd_rank, flat.win_sd
+    return (jnp.take(flat.rcv_rank, flat.perm_by_src),
+            flat.src_sorted_rank, flat.win_src)
+
+
+def _gather_segsum_fwd(table_flat, src_flat, rcv_rank, coarse_by_src,
+                       src_stream_rank, src_to_rank, win_fine_tok,
                        win_src_tok, rows, src_rows, block_edges):
     out = _gather_segsum(
-        table_flat, src_flat, rcv_rank, perm_by_src, src_sorted_rank,
+        table_flat, src_flat, rcv_rank, coarse_by_src, src_stream_rank,
         src_to_rank, win_fine_tok, win_src_tok, rows, src_rows, block_edges
     )
     # Zero-width proto carries the primal table's ROW COUNT and dtype so
     # the backward can emit a cotangent of exactly the primal's shape
     # (src_to_rank covers only the L*n_pad real rows; callers may pass a
     # table with an extra clip/dump row).
-    res = (rcv_rank, perm_by_src, src_sorted_rank, src_to_rank,
+    res = (coarse_by_src, src_stream_rank, src_to_rank,
            win_src_tok, jnp.zeros((table_flat.shape[0], 0),
                                   table_flat.dtype))
     return out, res
@@ -501,15 +520,19 @@ def _gather_segsum_bwd(rows, src_rows, block_edges, res, g):
     from .graph import token_window
     from .ranked_segment import ranked_segment_sum_table
 
-    (rcv_rank, perm_by_src, src_sorted_rank, src_to_rank, win_src_tok,
+    (coarse_by_src, src_stream_rank, src_to_rank, win_src_tok,
      proto) = res
-    rcv_by_src = jnp.take(rcv_rank, perm_by_src)
+    # Appended zero row: diluted fill slots (SD_FILL keys) clamp onto it
+    # and stay inert for ARBITRARY cotangents (not just the model's
+    # zero-slack-row usage).
+    gz = jnp.concatenate(
+        [g.astype(jnp.bfloat16),
+         jnp.zeros((8, g.shape[1]), jnp.bfloat16)], axis=0)
     g_edge = jnp.take(
-        g.astype(jnp.bfloat16), jnp.minimum(rcv_by_src, rows - 1),
-        axis=0, mode="clip",
+        gz, jnp.minimum(coarse_by_src, rows), axis=0, mode="clip",
     )
     dt_table = ranked_segment_sum_table(
-        g_edge, src_sorted_rank, src_rows, block_edges,
+        g_edge, src_stream_rank, src_rows, block_edges,
         token_window(win_src_tok),
     )
     valid = src_to_rank >= 0
@@ -562,10 +585,11 @@ def gather_aggregate_src(table_flat, graph, aggregation: str,
 
     flat = graph.flat
     n_pad = graph.n_pad
+    coarse_by_src, stream_rank, win_tok = _src_bwd_stream(flat)
     table = _gather_segsum(
-        table_flat, flat.src_flat, flat.rcv_rank, flat.perm_by_src,
-        flat.src_sorted_rank, flat.src_to_rank, flat.win_fine,
-        flat.win_src, rank_table_rows(n_pad, block_edges),
+        table_flat, flat.src_flat, flat.rcv_rank, coarse_by_src,
+        stream_rank, flat.src_to_rank, flat.win_fine,
+        win_tok, rank_table_rows(n_pad, block_edges),
         _gather_src_rows(graph), block_edges,
     )
     out = ranked_table_to_nodes(table, graph)
@@ -631,9 +655,13 @@ def _gather_segsum_fine_bwd(fine_rows, src_rows, block_edges, normalize,
 
     (fine_rank_by_src, perm_by_src, src_sorted_rank, src_to_rank,
      norm_scale, win_src_tok, proto) = res
+    # Appended zero row: diluted fill slots (SD_FILL keys) clamp onto it
+    # and stay inert for ARBITRARY cotangents.
+    gz = jnp.concatenate(
+        [g.astype(jnp.bfloat16),
+         jnp.zeros((8, g.shape[1]), jnp.bfloat16)], axis=0)
     g_edge = jnp.take(
-        g.astype(jnp.bfloat16), jnp.minimum(fine_rank_by_src, fine_rows - 1),
-        axis=0, mode="clip",
+        gz, jnp.minimum(fine_rank_by_src, fine_rows), axis=0, mode="clip",
     )
     if normalize:
         ns = jnp.take(norm_scale, perm_by_src)
@@ -695,10 +723,24 @@ def gather_aggregate_fine(table_flat, graph, normalize: bool,
     fine_rows = rs.fine_rank_table_rows(
         graph.n_pad, graph.num_edge_types, e_tot, block_edges
     )
+    from .graph import token_window
+
+    # Diluted backward stream (fine-rank keyed; SD_FILL slots clamp to
+    # the fine table's zero-cotangent slack row). The NORMALIZE branch
+    # needs per-edge norm scales in src order (norm_scale[perm]), which
+    # the diluted stream does not carry — it keeps the undiluted path.
+    if (not normalize
+            and token_window(getattr(flat, "win_sd", None))
+            and getattr(flat, "sd_fine", None) is not None):
+        fine_by_src, stream_rank, win_tok = (
+            flat.sd_fine, flat.sd_rank, flat.win_sd)
+    else:
+        fine_by_src, stream_rank, win_tok = (
+            flat.fine_rank_by_src, flat.src_sorted_rank, flat.win_src)
     return _gather_segsum_fine(
-        table_flat, flat.src_flat, flat.tgt_rank, flat.fine_rank_by_src,
-        flat.perm_by_src, flat.src_sorted_rank, flat.src_to_rank,
-        flat.norm_scale, flat.win_fine, flat.win_src,
+        table_flat, flat.src_flat, flat.tgt_rank, fine_by_src,
+        flat.perm_by_src, stream_rank, flat.src_to_rank,
+        flat.norm_scale, flat.win_fine, win_tok,
         fine_rows, _gather_src_rows(graph, block_edges), block_edges,
         normalize,
     )

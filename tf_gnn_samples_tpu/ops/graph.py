@@ -141,7 +141,8 @@ class FlatEdges(NamedTuple):
     # means dilution did not fit and consumers fall back to the
     # undiluted stream.
     sd_rank: jnp.ndarray = None  # [E_sd] int32
-    sd_fine: jnp.ndarray = None  # [E_sd] int32
+    sd_fine: jnp.ndarray = None  # [E_sd] int32 (fill -> SD_FILL)
+    sd_coarse: jnp.ndarray = None  # [E_sd] int32 (fill -> SD_FILL)
     win_sd: jnp.ndarray = None  # [W] uint8 zeros
     # TYPE-MAJOR stream view: the same edges in per-type-block order (the
     # pre-receiver-sort concatenation of the canonical EdgeBlocks). Within
@@ -265,14 +266,22 @@ def _win_token(win: int) -> np.ndarray:
     return np.zeros((win if win else 1,), dtype=np.uint8)
 
 
-def _dilute_src_stream(ranks_real: np.ndarray, fine_real: np.ndarray,
-                       cap: int, fine_dump: int, block: int = 256):
+# Fill-slot sentinel for diluted companion arrays: consumers clamp
+# indices with jnp.minimum(idx, rows - 1) or mode="clip", landing fill
+# slots on the LAST row of whatever table they key — a slack row whose
+# cotangent is structurally zero for every consumer table.
+SD_FILL = np.int32(2**31 - 1)
+
+
+def _dilute_src_stream(ranks_real: np.ndarray, companions, cap: int,
+                       block: int = 256):
     """Re-block a sorted gap-free rank stream with inert fill slots so
     every `block`-edge sub-block's aligned span fits the smallest
     W in {32, 64, 128} within the `cap` slot budget (see
-    FlatEdges.sd_rank). Returns (sd_rank, sd_fine, W) of length exactly
-    `cap`, or None if no W fits. Fill slots repeat the previous rank and
-    key `fine_dump` (a zero-cotangent fine row)."""
+    FlatEdges.sd_rank). Returns (sd_rank, [sd_companions], W) of length
+    exactly `cap`, or None if no W fits. Fill slots repeat the previous
+    rank and carry SD_FILL in every companion array (per-edge values
+    gathered alongside the stream — fine/coarse ranks etc.)."""
     e = int(ranks_real.shape[0])
     if e == 0 or cap < block:
         return None
@@ -302,15 +311,16 @@ def _dilute_src_stream(ranks_real: np.ndarray, fine_real: np.ndarray,
         if not ok:
             continue
         sd_rank = np.empty((cap,), np.int32)
-        sd_fine = np.full((cap,), fine_dump, np.int32)
+        sd_comp = [np.full((cap,), SD_FILL, np.int32) for _ in companions]
         pos = 0
         for i0, take in pieces:
             sd_rank[pos:pos + take] = ranks_real[i0:i0 + take]
-            sd_fine[pos:pos + take] = fine_real[i0:i0 + take]
+            for arr, comp in zip(sd_comp, companions):
+                arr[pos:pos + take] = comp[i0:i0 + take]
             sd_rank[pos + take:pos + block] = ranks_real[i0 + take - 1]
             pos += block
         sd_rank[pos:] = ranks_real[e - 1]
-        return sd_rank, sd_fine, W
+        return sd_rank, sd_comp, W
     return None
 
 
@@ -545,6 +555,8 @@ def pad_graph_batch(
     # fallback.
     fine_by_src_full = (tgt_rank[perm_by_src] if e_tot
                         else np.zeros((0,), np.int32))
+    coarse_by_src_full = (rcv_rank[perm_by_src] if e_tot
+                          else np.zeros((0,), np.int32))
     n_real_src = int((all_msk > 0).sum())
     # Cap at 1.03x the flat stream: the sd-stream gather is ROW-rate
     # bound, so every fill row costs like a real one — measured dilution
@@ -553,19 +565,22 @@ def pad_graph_batch(
     # the undiluted fallback instead of paying 12% extra rows.
     cap_sd = -(-103 * e_tot // (100 * 2048)) * 2048 if e_tot else 0
     dil = _dilute_src_stream(
-        src_sorted_rank[:n_real_src], fine_by_src_full[:n_real_src],
-        cap_sd, rpad - 1,
+        src_sorted_rank[:n_real_src],
+        [fine_by_src_full[:n_real_src], coarse_by_src_full[:n_real_src]],
+        cap_sd,
     ) if e_tot else None
     if dil is not None:
-        sd_rank, sd_fine, w_sd = dil
+        sd_rank, (sd_fine, sd_coarse), w_sd = dil
         win_sd = _win_token(w_sd)
     else:
         sd_rank = np.zeros((cap_sd,), np.int32)
-        sd_fine = np.full((cap_sd,), max(rpad - 1, 0), np.int32)
+        sd_fine = np.full((cap_sd,), SD_FILL, np.int32)
+        sd_coarse = np.full((cap_sd,), SD_FILL, np.int32)
         if e_tot:
             sd_rank[:e_tot] = src_sorted_rank
             sd_rank[e_tot:] = src_sorted_rank[-1]
             sd_fine[:e_tot] = fine_by_src_full
+            sd_coarse[:e_tot] = coarse_by_src_full
         win_sd = _win_token(0)
 
     # TYPE-MAJOR stream view (see FlatEdges.tm_*): the pre-sort
@@ -633,6 +648,7 @@ def pad_graph_batch(
         win_tgt=_win_token(rank_window(tgt_sorted_rank)),
         sd_rank=sd_rank,
         sd_fine=sd_fine,
+        sd_coarse=sd_coarse,
         win_sd=win_sd,
         fine_to_flat=fine_to_flat,
         fine_to_rcv=fine_to_rcv,

@@ -228,31 +228,37 @@ def _grouped_onehot(rank_ref, row0: int, group: int, start, rl: int,
 # ---------------------------------------------------------------------------
 
 
-def _segsum_kernel(start_ref, rank_ref, msg_ref, out_ref, *, be, rl, sub):
+def _segsum_kernel(start_ref, rank_ref, msg_ref, out_ref, *, be, rl, sub,
+                   group=1):
     c = pl.program_id(0)
+    bd, rlg = group * be, group * rl
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
         contrib = jnp.dot(
-            oh, msg_ref[pl.ds(s * be, be), :].astype(jnp.bfloat16),
+            oh, msg_ref[pl.ds(row0 * be, bd), :].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        cur = out_ref[pl.ds(start, rl), :]
-        out_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = out_ref[pl.ds(start, rlg), :]
+        out_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
-def _expand_kernel(start_ref, rank_ref, table_ref, out_ref, *, be, rl, sub):
+def _expand_kernel(start_ref, rank_ref, table_ref, out_ref, *, be, rl, sub,
+                   group=1):
     c = pl.program_id(0)
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        slab = table_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
-        out_ref[pl.ds(s * be, be), :] = jnp.dot(
+    bd, rlg = group * be, group * rl
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        slab = table_ref[pl.ds(start, rlg), :].astype(jnp.bfloat16)
+        out_ref[pl.ds(row0 * be, bd), :] = jnp.dot(
             oh_t, slab, preferred_element_type=jnp.float32,
         )
 
@@ -582,7 +588,8 @@ def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges, win=0):
     rl = win if win else be + 8
     rpad = table_rows
     blocks, starts = _chunk_inputs(rcv_rank, be)
-    kern = functools.partial(_segsum_kernel, be=be, rl=rl, sub=sub)
+    kern = functools.partial(_segsum_kernel, be=be, rl=rl, sub=sub,
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -605,7 +612,8 @@ def _expand_impl(table, rcv_rank, *, block_edges, win=0):
     sub = STEP // be
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(rcv_rank, be)
-    kern = functools.partial(_expand_kernel, be=be, rl=rl, sub=sub)
+    kern = functools.partial(_expand_kernel, be=be, rl=rl, sub=sub,
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -1832,7 +1840,15 @@ def _ffsp_bwd(act, block_edges, win_fine, win_src, res, g):
     # dt via src-order recompute (see film_fused_src_pass): one [E, 3D]
     # row gather from the small fine table, then one streaming kernel.
     gcb_table = jnp.concatenate([gb16, gb16[:, :d] * g16], axis=1)
-    gcb_src = jnp.take(gcb_table, fine_rank_by_src, axis=0, mode="clip")
+    # Appended zero row: diluted fill slots (SD_FILL fine keys) clamp
+    # onto it, so their recomputed dmsg is zero for ARBITRARY upstream
+    # cotangents (real/pad edges land below it unchanged).
+    gcb_ext = jnp.concatenate(
+        [gcb_table, jnp.zeros((8, gcb_table.shape[1]), gcb_table.dtype)],
+        axis=0)
+    gcb_src = jnp.take(
+        gcb_ext, jnp.minimum(fine_rank_by_src, gcb_table.shape[0]),
+        axis=0, mode="clip")
     t_ranked = jnp.take(t16, src_from_rank, axis=0, mode="clip")
     dt_table = _film_src_bwd_impl(
         gcb_src, t_ranked, src_sorted_rank,
@@ -2208,7 +2224,13 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
         jnp.take(den.T.astype(jnp.bfloat16), cof, axis=0),
         jnp.take(s_tab.T.astype(jnp.bfloat16), cof, axis=0),
     ], axis=1)  # [RPAD, D+3K]
-    gcb_src = jnp.take(side, fine_rank_by_src, axis=0, mode="clip")
+    # Appended zero row: diluted fill slots (SD_FILL fine keys) clamp
+    # onto it — dagg/den/s_cor are zero for ARBITRARY cotangents.
+    side_ext = jnp.concatenate(
+        [side, jnp.zeros((8, side.shape[1]), side.dtype)], axis=0)
+    gcb_src = jnp.take(
+        side_ext, jnp.minimum(fine_rank_by_src, side.shape[0]),
+        axis=0, mode="clip")
     t_rank_ext = jnp.take(t_ext, src_from_rank, axis=0, mode="clip")
     dtp = _rgat_src_bwd_impl(
         gcb_src, t_rank_ext,
