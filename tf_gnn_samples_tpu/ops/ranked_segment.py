@@ -691,22 +691,25 @@ ranked_expand_table.defvjp(_expand_fwd, _expand_bwd)
 
 
 def _expand_add_act_kernel(start_ref, rank_ref, m_ref, beta_ref, x_ref,
-                           *, be, rl, sub, act):
+                           *, be, rl, sub, act, group=1):
     """x = act(m + beta[rank]) in one streaming pass: the rank-indexed
     beta table is expanded in-VMEM by the windowed one-hot, so neither
     the expanded [E, D] beta stream nor an activation residual ever
     exists in HBM (the VJP recovers act' from x itself)."""
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[pl.program_id(0) * sub + s], 8)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
-        slab = beta_ref[pl.ds(start, rl), :].astype(jnp.bfloat16)
+    bd, rlg = group * be, group * rl
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[pl.program_id(0) * sub + row0], 8)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
+        slab = beta_ref[pl.ds(start, rlg), :].astype(jnp.bfloat16)
         beta_e = jnp.dot(oh_t, slab, preferred_element_type=jnp.float32)
-        m = m_ref[pl.ds(s * be, be), :].astype(jnp.float32)
-        x_ref[pl.ds(s * be, be), :] = act(m + beta_e).astype(x_ref.dtype)
+        m = m_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
+        x_ref[pl.ds(row0 * be, bd), :] = act(m + beta_e).astype(x_ref.dtype)
 
 
 def _expand_add_act_bwd_kernel(start_ref, rank_ref, x_ref, dx_ref,
-                               dm_ref, dbeta_ref, *, be, rl, sub, dact_out):
+                               dm_ref, dbeta_ref, *, be, rl, sub, dact_out,
+                               group=1):
     """VJP of expand-add-act for activations whose derivative is a
     function of the OUTPUT (dact_out(x)): dm = dact_out(x) * dx per edge,
     dbeta = its windowed rank segment-sum."""
@@ -716,16 +719,18 @@ def _expand_add_act_bwd_kernel(start_ref, rank_ref, x_ref, dx_ref,
     def _():
         dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        x = x_ref[pl.ds(s * be, be), :].astype(jnp.float32)
-        dx = dx_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+    bd, rlg = group * be, group * rl
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        x = x_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
+        dx = dx_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         dz = (dact_out(x) * dx).astype(jnp.bfloat16)
-        dm_ref[pl.ds(s * be, be), :] = dz
+        dm_ref[pl.ds(row0 * be, bd), :] = dz
         contrib = jnp.dot(oh, dz, preferred_element_type=jnp.float32)
-        cur = dbeta_ref[pl.ds(start, rl), :]
-        dbeta_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = dbeta_ref[pl.ds(start, rlg), :]
+        dbeta_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
 # Activations invertible enough that act'(z) is a function of act(z):
@@ -751,7 +756,8 @@ def _expand_add_act_impl(m, beta_table, ranks, *, block_edges, act, win=0):
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_expand_add_act_kernel, be=be, rl=rl, sub=sub,
-                             act=_ACTS[act][0])
+                             act=_ACTS[act][0],
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -780,6 +786,7 @@ def _expand_add_act_bwd_impl(x, dx, ranks, *, table_rows, block_edges, act,
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_expand_add_act_bwd_kernel, be=be, rl=rl,
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP),
                              sub=sub, dact_out=_ACTS_FROM_OUT[act])
     return pl.pallas_call(
         kern,
@@ -839,38 +846,42 @@ expand_add_act.defvjp(_eaa_fwd, _eaa_bwd)
 
 
 def _act_agg_kernel(start_ref, rank_ref, msg_ref, out_ref, *, be, rl, sub,
-                    act):
+                    act, group=1):
     c = pl.program_id(0)
+    bd, rlg = group * be, group * rl
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh = _grouped_onehot(rank_ref, row0, group, start, rl, be)
+        m = msg_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
         a = act(m).astype(jnp.bfloat16)
         contrib = jnp.dot(oh, a, preferred_element_type=jnp.float32)
-        cur = out_ref[pl.ds(start, rl), :]
-        out_ref[pl.ds(start, rl), :] = cur + contrib
+        cur = out_ref[pl.ds(start, rlg), :]
+        out_ref[pl.ds(start, rlg), :] = cur + contrib
 
 
 def _act_agg_bwd_kernel(start_ref, rank_ref, msg_ref, g_ref, dmsg_ref,
-                        *, be, rl, sub, dact):
+                        *, be, rl, sub, dact, group=1):
     """dmsg-only backward: recomputes act'(msgs) and expands the table
     cotangent in-VMEM — no d_gamma/d_beta side products (compare
     _film_bwd_kernel, which pays two extra one-hot matmuls for them)."""
     c = pl.program_id(0)
-    for s in range(sub):
-        start = pl.multiple_of(start_ref[c * sub + s], 8)
-        oh_t = _local_onehot_t(rank_ref[s, :], start, rl, be)
+    bd, rlg = group * be, group * rl
+    for gi in range(sub // group):
+        row0 = gi * group
+        start = pl.multiple_of(start_ref[c * sub + row0], 8)
+        oh_t = _grouped_onehot_t(rank_ref, row0, group, start, rl, be)
         g_e = jnp.dot(
-            oh_t, g_ref[pl.ds(start, rl), :].astype(jnp.bfloat16),
+            oh_t, g_ref[pl.ds(start, rlg), :].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
-        dmsg_ref[pl.ds(s * be, be), :] = (dact(m) * g_e).astype(
+        m = msg_ref[pl.ds(row0 * be, bd), :].astype(jnp.float32)
+        dmsg_ref[pl.ds(row0 * be, bd), :] = (dact(m) * g_e).astype(
             dmsg_ref.dtype)
 
 
@@ -883,7 +894,8 @@ def _act_agg_impl(msgs, ranks, *, table_rows, block_edges, act, win=0):
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_act_agg_kernel, be=be, rl=rl, sub=sub,
-                             act=_ACTS[act][0])
+                             act=_ACTS[act][0],
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -906,7 +918,8 @@ def _act_agg_bwd_impl(msgs, g16, ranks, *, block_edges, act, win=0):
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_act_agg_bwd_kernel, be=be, rl=rl, sub=sub,
-                             dact=_ACTS[act][1])
+                             dact=_ACTS[act][1],
+                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
