@@ -61,8 +61,15 @@ STEP = 2048  # edges per grid step; divides every bucketed flat stream
 # Dot-block group caps (see _dot_group): A/B-measured on v5e at PPI bench
 # shapes (tools/film_fwd_ab.py, round 5) — the fwd/mask kernels win ~10%
 # at group 4; the dgb kernel's larger slabs gain less and regress past 2.
+# SINGLE-dot kernels (plain segsum / expand / act-agg / expand-add-act)
+# are a measured DEAD END: grouping them is steady-state NEUTRAL-to-WORSE
+# (segsum 3.26 -> 3.53 ms at group 4, expand 4.44 -> 4.60) and the
+# group-4 accumulate-only lowering took 245 s of Mosaic compile — their
+# per-sub critical path is already minimal, so there is no issue latency
+# to amortize. Only the multi-dot FiLM-family kernels group.
 FWD_DOT_GROUP_CAP = 4
 DGB_DOT_GROUP_CAP = 2
+SINGLE_DOT_GROUP_CAP = 1
 
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
@@ -589,7 +596,7 @@ def _segsum_table_impl(msgs, rcv_rank, *, table_rows, block_edges, win=0):
     rpad = table_rows
     blocks, starts = _chunk_inputs(rcv_rank, be)
     kern = functools.partial(_segsum_kernel, be=be, rl=rl, sub=sub,
-                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
+                             group=_dot_group(win, be, SINGLE_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -613,7 +620,7 @@ def _expand_impl(table, rcv_rank, *, block_edges, win=0):
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(rcv_rank, be)
     kern = functools.partial(_expand_kernel, be=be, rl=rl, sub=sub,
-                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
+                             group=_dot_group(win, be, SINGLE_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -757,7 +764,7 @@ def _expand_add_act_impl(m, beta_table, ranks, *, block_edges, act, win=0):
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_expand_add_act_kernel, be=be, rl=rl, sub=sub,
                              act=_ACTS[act][0],
-                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
+                             group=_dot_group(win, be, SINGLE_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -786,7 +793,7 @@ def _expand_add_act_bwd_impl(x, dx, ranks, *, table_rows, block_edges, act,
     rl = win if win else be + 8
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_expand_add_act_bwd_kernel, be=be, rl=rl,
-                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP),
+                             group=_dot_group(win, be, SINGLE_DOT_GROUP_CAP),
                              sub=sub, dact_out=_ACTS_FROM_OUT[act])
     return pl.pallas_call(
         kern,
@@ -895,7 +902,7 @@ def _act_agg_impl(msgs, ranks, *, table_rows, block_edges, act, win=0):
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_act_agg_kernel, be=be, rl=rl, sub=sub,
                              act=_ACTS[act][0],
-                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
+                             group=_dot_group(win, be, SINGLE_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),
@@ -919,7 +926,7 @@ def _act_agg_bwd_impl(msgs, g16, ranks, *, block_edges, act, win=0):
     blocks, starts = _chunk_inputs(ranks, be)
     kern = functools.partial(_act_agg_bwd_kernel, be=be, rl=rl, sub=sub,
                              dact=_ACTS[act][1],
-                             group=_dot_group(win, be, FWD_DOT_GROUP_CAP))
+                             group=_dot_group(win, be, SINGLE_DOT_GROUP_CAP))
     return pl.pallas_call(
         kern,
         grid=(e // STEP,),

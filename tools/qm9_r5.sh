@@ -9,7 +9,12 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=docs/qm9_parity
-RECIPE='{"optimizer": "Adam", "learning_rate": 0.0001, "max_nodes_in_batch": 10000, "cache_batches_on_device": true, "repack_cached_every": 4}'
+# max_epochs 300 bounds slow-converging properties (alpha's tight
+# normalizer keeps improving past epoch 350 on the small fold — round 4
+# measured its converged value separately at 3 seeds); patience 25 is
+# the reference protocol and stops most properties well before the cap.
+# Runs that hit the cap are noted in docs/PARITY.md.
+RECIPE='{"optimizer": "Adam", "learning_rate": 0.0001, "max_nodes_in_batch": 10000, "cache_batches_on_device": true, "repack_cached_every": 4, "max_epochs": 300}'
 
 mkdir -p "$OUT/film_13prop" "$OUT/rgcn_3seed"
 
