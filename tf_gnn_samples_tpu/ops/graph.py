@@ -563,7 +563,15 @@ def pad_graph_batch(
     # needs ~1.05-1.11x the REAL edges, which the flat stream's own
     # padding slack usually absorbs; tight folds degrade to a wider W or
     # the undiluted fallback instead of paying 12% extra rows.
-    cap_sd = -(-103 * e_tot // (100 * 2048)) * 2048 if e_tot else 0
+    # Gate on the FINE window: every sd consumer (the fused src-order
+    # backwards) requires the fine/coarse ranked paths, which disengage
+    # without a fine window (compressive_window) — a fold like VarMisuse
+    # (deg ~2/type) would otherwise upload ~8 B/edge of dead sd weight
+    # per streaming batch.
+    fine_win_val = _merge_windows(rank_window(tgt_rank),
+                                  rank_window(rcv_rank))
+    cap_sd = (-(-103 * e_tot // (100 * 2048)) * 2048
+              if (e_tot and fine_win_val) else 0)
     dil = _dilute_src_stream(
         src_sorted_rank[:n_real_src],
         [fine_by_src_full[:n_real_src], coarse_by_src_full[:n_real_src]],
@@ -642,8 +650,7 @@ def pad_graph_batch(
         src_to_rank=src_to_rank,
         tgt_sorted_rank=tgt_sorted_rank,
         tgt_to_rank=tgt_to_rank,
-        win_fine=_win_token(_merge_windows(rank_window(tgt_rank),
-                                           rank_window(rcv_rank))),
+        win_fine=_win_token(fine_win_val),
         win_src=_win_token(rank_window(src_sorted_rank)),
         win_tgt=_win_token(rank_window(tgt_sorted_rank)),
         sd_rank=sd_rank,
