@@ -584,7 +584,7 @@ def pad_graph_batch(
         sd_rank = np.zeros((cap_sd,), np.int32)
         sd_fine = np.full((cap_sd,), SD_FILL, np.int32)
         sd_coarse = np.full((cap_sd,), SD_FILL, np.int32)
-        if e_tot:
+        if e_tot and cap_sd:
             sd_rank[:e_tot] = src_sorted_rank
             sd_rank[e_tot:] = src_sorted_rank[-1]
             sd_fine[:e_tot] = fine_by_src_full
