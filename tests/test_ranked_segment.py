@@ -1017,3 +1017,30 @@ def test_fused_pass_gates_engage_at_bench_shapes():
     n_rgat = 12800
     rgat_rows = rs.rank_table_rows(n_rgat, 256)
     assert rs.rgat_fused_supported(e_rgat, d, 4, rgat_rows, 27920)
+
+
+def test_sd_stream_engages_at_ppi_statistics():
+    """Dilution-engagement guard: at PPI-like degree structure (mean ~28
+    per type, a low-degree tail) the fine window AND the diluted src
+    window must both engage — a silent fallback to the 264-wide src
+    one-hots reads as a plausible old benchmark number (same failure
+    mode as the VMEM-gate guard above)."""
+    from tf_gnn_samples_tpu.ops.graph import pad_graph_batch, token_window
+
+    rng = np.random.RandomState(7)
+    n = 2400
+    adj = []
+    for _ in range(3):
+        deg = np.maximum(rng.poisson(28, size=n), 0)
+        deg[rng.choice(n, size=n // 50, replace=False)] = 1  # deg-1 tail
+        src = np.repeat(np.arange(n), deg)
+        dst = rng.randint(0, n, size=len(src))
+        adj.append(np.stack([src, dst], 1).astype(np.int32))
+    g = pad_graph_batch(
+        node_features=rng.randn(n, 8).astype(np.float32),
+        adjacency_lists=adj,
+        node_graph_ids=np.zeros(n, np.int32),
+        num_graphs=1,
+    )
+    assert token_window(g.flat.win_fine) > 0
+    assert token_window(g.flat.win_sd) in (32, 64, 128)
