@@ -353,12 +353,41 @@ def unify_flat_windows(flats: Sequence["FlatEdges"]):
     if getattr(flats[0], "win_sd", None) is not None:
         fields.append("win_sd")
     new = {f: merged(f) for f in fields}
-    if all(
+
+    # sd ARRAY lengths must also agree to stack: the fine-window gate is
+    # per batch, so one batch of a fold can carry cap-length sd arrays
+    # while another skipped them (length 0). Harmonize by rebuilding the
+    # short ones as the UNDILUTED fallback at the common cap (the win_sd
+    # token already unified to 0 in that case, so consumers ignore them).
+    sd_fix = {}
+    if getattr(flats[0], "sd_rank", None) is not None:
+        lens = {int(f.sd_rank.shape[0]) for f in flats}
+        if len(lens) > 1:
+            cap = max(lens)
+            for i, f in enumerate(flats):
+                if int(f.sd_rank.shape[0]) == cap:
+                    continue
+                e_tot = int(f.src_sorted_rank.shape[0])
+                sd_rank = np.zeros((cap,), np.int32)
+                sd_fine = np.full((cap,), SD_FILL, np.int32)
+                sd_coarse = np.full((cap,), SD_FILL, np.int32)
+                if e_tot:
+                    sd_rank[:e_tot] = np.asarray(f.src_sorted_rank)
+                    sd_rank[e_tot:] = sd_rank[e_tot - 1]
+                    sd_fine[:e_tot] = np.asarray(f.fine_rank_by_src)
+                    sd_coarse[:e_tot] = np.asarray(f.rcv_rank)[
+                        np.asarray(f.perm_by_src)]
+                sd_fix[i] = {"sd_rank": sd_rank, "sd_fine": sd_fine,
+                             "sd_coarse": sd_coarse}
+            new["win_sd"] = _win_token(0)
+
+    if not sd_fix and all(
         getattr(f, k) is not None and getattr(f, k).shape == v.shape
         for f in flats for k, v in new.items()
     ):
         return list(flats)
-    return [f._replace(**new) for f in flats]
+    return [f._replace(**new, **sd_fix.get(i, {}))
+            for i, f in enumerate(flats)]
 
 
 def token_window(token) -> int:
