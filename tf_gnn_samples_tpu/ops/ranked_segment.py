@@ -1326,7 +1326,7 @@ def _wseg_t_kernel(start_ref, rank_ref, msg_ref, wt_ref, out_ref,
     for s in range(sub):
         start = pl.multiple_of(start_ref[c * sub + s], 8)
         oh = _local_onehot(rank_ref[s, :], start, rl, be)
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        m = msg_ref[pl.ds(s * be, be), :d].astype(jnp.float32)
         w_slab = wt_ref[:, pl.ds(s * be, be)]  # [K, BE]
         w_rep = jax.lax.dot_general(
             w_slab, rep, (((0,), (0,)), ((), ())),
@@ -1462,10 +1462,16 @@ ranked_expand_table_t.defvjp(_expand_t_fwd, _expand_t_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("table_rows", "num_heads",
-                                             "block_edges", "win"))
+                                             "block_edges", "win",
+                                             "d_used"))
 def _wseg_t_impl(msgs, w_t, ranks, *, table_rows, num_heads, block_edges,
-                 win=0):
-    e, dim = msgs.shape
+                 win=0, d_used=None):
+    """`msgs` may carry EXTRA trailing lanes (e.g. the RGAT [E, D+K]
+    gather with its logit lanes): pass d_used to aggregate only the first
+    d lanes — cheaper than slicing the stream outside (an [E, D] relayout
+    copy, ~0.38 ms/layer at RGAT bench shapes)."""
+    e, dim_in = msgs.shape
+    dim = d_used or dim_in
     be = block_edges
     sub = STEP // be
     rl = win if win else be + 8
@@ -1476,7 +1482,7 @@ def _wseg_t_impl(msgs, w_t, ranks, *, table_rows, num_heads, block_edges,
         kern,
         grid=(e // STEP,),
         in_specs=_common_specs(sub, be) + [
-            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+            pl.BlockSpec((STEP, dim_in), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_heads, STEP), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
@@ -1939,7 +1945,7 @@ def _wseg_t_dw_kernel(start_ref, rank_ref, msg_ref, g_ref, dwt_ref,
             oh_t, g_ref[pl.ds(start, rl), :],
             preferred_element_type=jnp.float32,
         )  # [BE, D]
-        m = msg_ref[pl.ds(s * be, be), :].astype(jnp.float32)
+        m = msg_ref[pl.ds(s * be, be), :d].astype(jnp.float32)
         dwt_ref[:, pl.ds(s * be, be)] = jax.lax.dot_general(
             rep, m * g_e, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1947,9 +1953,12 @@ def _wseg_t_dw_kernel(start_ref, rank_ref, msg_ref, g_ref, dwt_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "block_edges", "win"))
-def _wseg_t_dw_impl(msgs, g16, ranks, *, num_heads, block_edges, win=0):
-    e, dim = msgs.shape
+                   static_argnames=("num_heads", "block_edges", "win",
+                                    "d_used"))
+def _wseg_t_dw_impl(msgs, g16, ranks, *, num_heads, block_edges, win=0,
+                    d_used=None):
+    e, dim_in = msgs.shape
+    dim = d_used or dim_in
     be = block_edges
     sub = STEP // be
     rl = win if win else be + 8
@@ -1960,7 +1969,7 @@ def _wseg_t_dw_impl(msgs, g16, ranks, *, num_heads, block_edges, win=0):
         kern,
         grid=(e // STEP,),
         in_specs=_common_specs(sub, be) + [
-            pl.BlockSpec((STEP, dim), lambda c: (c, 0),
+            pl.BlockSpec((STEP, dim_in), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bf16 g table resident
         ],
@@ -2159,7 +2168,6 @@ def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
         [t16, lsrc_node.astype(jnp.bfloat16)], axis=1
     )  # [L*N, D+K]
     m2e = jnp.take(t_ext, src_idx, axis=0, mode="clip")  # [E, D+K]
-    m2 = m2e[:, :d]
     lsrc_t = m2e[:, d:].astype(jnp.float32).T  # [K, E]
     ltgt_t = _expand_t_impl(lt_table.T, tgt_rank,
                             block_edges=block_edges, win=win_fine)
@@ -2172,15 +2180,18 @@ def _rgat_fwd_compute(t_flat, lt_table, att_src, src_idx, rcv_rank,
     attn_t = ex_t / (_expand_t_impl(den, rcv_rank, block_edges=block_edges,
                                     win=win_fine)
                      + 1e-7)
-    table = _wseg_t_impl(m2, attn_t, rcv_rank, table_rows=rows,
+    # The [E, D+K] gather feeds the kernel UNSLICED (d_used): slicing
+    # m2 = m2e[:, :d] outside forces an [E, D] relayout copy
+    # (~0.38 ms/layer at bench shapes).
+    table = _wseg_t_impl(m2e, attn_t, rcv_rank, table_rows=rows,
                          num_heads=num_heads, block_edges=block_edges,
-                         win=win_fine)
+                         win=win_fine, d_used=d)
     # 3-state leaky/clamp code for the backward: 0 = clamped (zero
     # gradient, matching autodiff through jnp.clip), 1 = positive branch,
     # 2 = negative (0.2×) branch.
     unclamped = jnp.abs(logits_t) < clamp
     sign = jnp.where(unclamped, jnp.where(pre_t > 0, 1, 2), 0).astype(jnp.int8)
-    return table, (m2, attn_t, den, sign, t_ext)
+    return table, (m2e, attn_t, den, sign, t_ext)
 
 
 def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
@@ -2188,11 +2199,11 @@ def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
                   rcv_rank, tgt_rank, edge_mask, fine_to_rcv,
                   node_to_rank,
                   num_heads, n_pad, block_edges, win_fine, win_src):
-    table, (m2, attn_t, den, sign, t_ext) = _rgat_fwd_compute(
+    table, (m2e, attn_t, den, sign, t_ext) = _rgat_fwd_compute(
         t_flat, lt_table, att_src, src_idx, rcv_rank, tgt_rank, edge_mask,
         num_heads, n_pad, block_edges, win_fine,
     )
-    res = (m2, attn_t, den, sign, t_ext, lt_table, att_src,
+    res = (m2e, attn_t, den, sign, t_ext, lt_table, att_src,
            fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
            rcv_rank, tgt_rank, edge_mask, fine_to_rcv, node_to_rank,
            jnp.zeros((0,), t_flat.dtype))
@@ -2201,13 +2212,13 @@ def _rgat_vjp_fwd(t_flat, lt_table, att_src, src_idx, fine_rank_by_src,
 
 def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
                   res, g):
-    (m2, attn_t, den, sign, t_ext, lt_table, att_src,
+    (m2e, attn_t, den, sign, t_ext, lt_table, att_src,
      fine_rank_by_src, src_sorted_rank, src_to_rank, src_from_rank,
      rcv_rank, tgt_rank, edge_mask, fine_to_rcv, node_to_rank,
      t_proto) = res
     k = num_heads
     L, _, dh = att_src.shape
-    d = m2.shape[1]
+    d = m2e.shape[1] - k
     clamp = 50.0
     rows = rank_table_rows(n_pad, block_edges)
     rpad = lt_table.shape[0]
@@ -2215,8 +2226,9 @@ def _rgat_vjp_bwd(num_heads, n_pad, block_edges, win_fine, win_src,
 
     # Receiver-order half: raw attention cotangents, softmax correction
     # table, and the fine-rank d(lt_table) — all narrow [K, E] math.
-    draw_t = _wseg_t_dw_impl(m2, g16, rcv_rank, num_heads=k,
-                             block_edges=block_edges, win=win_fine)
+    draw_t = _wseg_t_dw_impl(m2e, g16, rcv_rank, num_heads=k,
+                             block_edges=block_edges, win=win_fine,
+                             d_used=d)
     s_tab = _segsum_t_impl(attn_t * draw_t, rcv_rank, table_rows=rows,
                            block_edges=block_edges, win=win_fine)
     s_exp = _expand_t_impl(s_tab, rcv_rank, block_edges=block_edges,
