@@ -150,3 +150,19 @@ def test_run_ppi_benchs_harness(tmp_path):
     row = [l for l in r.stdout.splitlines() if l.startswith("| GGNN")]
     assert row, r.stdout[-1500:]
     assert re_mod.search(r"\| GGNN\s+\| 0\.\d+ \(\+/- 0\.\d+\) \|\s+\d+", row[0]), row[0]
+
+
+def test_qm9_harness_property_subset():
+    """--properties filter of the QM9 table harness (round-5 extension):
+    names map to task ids in CHEMICAL_ACC order; default = all 13."""
+    import importlib
+
+    mod = importlib.import_module("run_qm9_benchs")
+    assert mod.property_subset(None) == list(range(13))
+    assert mod.property_subset("mu,HOMO,U0,Cv") == [0, 2, 7, 11]
+    try:
+        mod.property_subset("nope")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("unknown property must raise")
