@@ -1044,3 +1044,78 @@ def test_sd_stream_engages_at_ppi_statistics():
     )
     assert token_window(g.flat.win_fine) > 0
     assert token_window(g.flat.win_sd) in (32, 64, 128)
+
+
+def test_unify_flat_windows_keeps_dilution_across_lengths():
+    """Fold-level guard for the bench regression where unify_flat_windows
+    rebuilt EVERY batch as the undiluted fallback (win_sd -> 0) whenever
+    a fold's buckets carried different sd cap lengths — silently pushing
+    the src-order backwards onto 264-wide one-hots for the whole cached
+    fold. When all batches are sd-engaged, unify must EXTEND the shorter
+    diluted streams with inert fill slots and keep the window engaged,
+    and a consumer's gradients must be unchanged by the extension."""
+    from tf_gnn_samples_tpu.ops.graph import (SD_FILL, token_window,
+                                              unify_flat_windows)
+    from tf_gnn_samples_tpu.nn.layers import rgat_apply, rgat_init
+
+    from tf_gnn_samples_tpu.ops.graph import pad_graph_batch
+
+    rng = np.random.RandomState(3)
+    g_small = _random_graph_batch(rng, e_per_type=1900)
+    adj = [
+        np.stack([rng.randint(0, 500, size=3500),
+                  rng.randint(0, 500, size=3500)], 1).astype(np.int32)
+        for _ in range(2)
+    ]
+    g_big = pad_graph_batch(rng.randn(500, 64).astype(np.float32), adj,
+                            np.zeros(500, np.int32), 1, n_pad=512,
+                            e_pads=[4096, 4096], g_pad=16)
+    f_s, f_b = g_small.flat, g_big.flat
+    assert token_window(f_s.win_sd) and token_window(f_b.win_sd)
+    assert f_s.sd_rank.shape[0] != f_b.sd_rank.shape[0]
+
+    u_s, u_b = unify_flat_windows([f_s, f_b])
+    cap = max(int(f_s.sd_rank.shape[0]), int(f_b.sd_rank.shape[0]))
+    assert u_s.sd_rank.shape[0] == u_b.sd_rank.shape[0] == cap
+    w_uni = token_window(u_s.win_sd)
+    assert w_uni in (32, 64, 128)  # the regression forced 0 here
+    assert w_uni >= max(token_window(f_s.win_sd), token_window(f_b.win_sd))
+
+    # The extended stream is the original plus inert fill: real slots
+    # unchanged, appended slots repeat the last rank and key SD_FILL.
+    n_orig = int(f_s.sd_rank.shape[0])
+    np.testing.assert_array_equal(np.asarray(u_s.sd_rank)[:n_orig],
+                                  np.asarray(f_s.sd_rank))
+    np.testing.assert_array_equal(np.asarray(u_s.sd_fine)[:n_orig],
+                                  np.asarray(f_s.sd_fine))
+    np.testing.assert_array_equal(np.asarray(u_s.sd_coarse)[:n_orig],
+                                  np.asarray(f_s.sd_coarse))
+    assert np.all(np.asarray(u_s.sd_fine)[n_orig:] == SD_FILL)
+    assert np.all(np.asarray(u_s.sd_rank)[n_orig:]
+                  == np.asarray(f_s.sd_rank)[-1])
+    # Window invariant still holds on the extended stream.
+    sd = np.asarray(u_s.sd_rank)
+    for s in range(0, cap, 256):
+        blk = sd[s:s + 256]
+        assert int(blk[-1]) - (int(blk[0]) & ~7) + 1 <= w_uni
+
+    # End-to-end: RGAT grads through the fused pass are unchanged by the
+    # extension (fill slots key zero-cotangent slack rows).
+    d = 64
+    params = rgat_init(jax.random.PRNGKey(5), 2, d, num_heads=4)
+    h = jnp.asarray(rng.randn(g_small.n_pad, d).astype(np.float32))
+    g_uni = g_small._replace(flat=u_s)
+
+    def loss(graph):
+        def f(p, hh):
+            out = rgat_apply(p, graph, hh, num_heads=4,
+                             aggregation_strategy="pallas")
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_pre = jax.grad(loss(g_small), argnums=(0, 1))(params, h)
+    g_post = jax.grad(loss(g_uni), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pre),
+                    jax.tree_util.tree_leaves(g_post)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)

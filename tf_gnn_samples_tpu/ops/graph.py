@@ -354,32 +354,51 @@ def unify_flat_windows(flats: Sequence["FlatEdges"]):
         fields.append("win_sd")
     new = {f: merged(f) for f in fields}
 
-    # sd ARRAY lengths must also agree to stack: the fine-window gate is
-    # per batch, so one batch of a fold can carry cap-length sd arrays
-    # while another skipped them (length 0). Harmonize by rebuilding the
-    # short ones as the UNDILUTED fallback at the common cap (the win_sd
-    # token already unified to 0 in that case, so consumers ignore them).
+    # sd ARRAY lengths must also agree to stack: the per-batch cap is
+    # 1.03x that batch's edge total, so a fold's buckets carry different
+    # sd lengths (and the fine-window gate can zero some out entirely).
+    # When EVERY batch has an engaged diluted stream, extend the shorter
+    # ones to the common cap with inert fill slots — appended slots
+    # repeat the last rank (block span 1 <= any W) and key slack rows
+    # via SD_FILL, so the merged win_sd stays engaged for the group.
+    # Only when some batch has no sd window (fine-window gate, or no W
+    # fit its cap) does the group rebuild as the UNDILUTED fallback
+    # (win_sd token 0 — consumers ignore the arrays).
     sd_fix = {}
     if getattr(flats[0], "sd_rank", None) is not None:
         lens = {int(f.sd_rank.shape[0]) for f in flats}
         if len(lens) > 1:
             cap = max(lens)
+            all_diluted = all(
+                f.win_sd is not None and int(f.win_sd.shape[0]) >= 16
+                for f in flats
+            )
             for i, f in enumerate(flats):
-                if int(f.sd_rank.shape[0]) == cap:
+                cur = int(f.sd_rank.shape[0])
+                if cur == cap:
                     continue
-                e_tot = int(f.src_sorted_rank.shape[0])
                 sd_rank = np.zeros((cap,), np.int32)
                 sd_fine = np.full((cap,), SD_FILL, np.int32)
                 sd_coarse = np.full((cap,), SD_FILL, np.int32)
-                if e_tot:
-                    sd_rank[:e_tot] = np.asarray(f.src_sorted_rank)
-                    sd_rank[e_tot:] = sd_rank[e_tot - 1]
-                    sd_fine[:e_tot] = np.asarray(f.fine_rank_by_src)
-                    sd_coarse[:e_tot] = np.asarray(f.rcv_rank)[
-                        np.asarray(f.perm_by_src)]
+                if all_diluted:
+                    # cur >= 1 block here: an engaged window implies
+                    # dilution succeeded, which requires cap_sd > 0.
+                    sd_rank[:cur] = np.asarray(f.sd_rank)
+                    sd_rank[cur:] = sd_rank[cur - 1]
+                    sd_fine[:cur] = np.asarray(f.sd_fine)
+                    sd_coarse[:cur] = np.asarray(f.sd_coarse)
+                else:
+                    e_tot = int(f.src_sorted_rank.shape[0])
+                    if e_tot:
+                        sd_rank[:e_tot] = np.asarray(f.src_sorted_rank)
+                        sd_rank[e_tot:] = sd_rank[e_tot - 1]
+                        sd_fine[:e_tot] = np.asarray(f.fine_rank_by_src)
+                        sd_coarse[:e_tot] = np.asarray(f.rcv_rank)[
+                            np.asarray(f.perm_by_src)]
                 sd_fix[i] = {"sd_rank": sd_rank, "sd_fine": sd_fine,
                              "sd_coarse": sd_coarse}
-            new["win_sd"] = _win_token(0)
+            if not all_diluted:
+                new["win_sd"] = _win_token(0)
 
     if not sd_fix and all(
         getattr(f, k) is not None and getattr(f, k).shape == v.shape
