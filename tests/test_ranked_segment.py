@@ -1119,3 +1119,51 @@ def test_unify_flat_windows_keeps_dilution_across_lengths():
                     jax.tree_util.tree_leaves(g_post)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_unify_extension_preserves_rgin_coarse_grads():
+    """Companion to the unify-dilution guard for the sd_coarse consumer:
+    the coarse gather+segsum fused backward (ops/edge_ops) must also be
+    gradient-exact on a fill-extended diluted stream."""
+    from tf_gnn_samples_tpu.ops.graph import token_window, unify_flat_windows
+    from tf_gnn_samples_tpu.nn.layers import rgin_apply, rgin_init
+
+    from tf_gnn_samples_tpu.ops.graph import pad_graph_batch
+
+    rng = np.random.RandomState(11)
+    g_a = _random_graph_batch(rng, e_per_type=1900)
+    adj = [
+        np.stack([rng.randint(0, 400, size=3200),
+                  rng.randint(0, 400, size=3200)], 1).astype(np.int32)
+        for _ in range(2)
+    ]
+    g_b = pad_graph_batch(rng.randn(400, 64).astype(np.float32), adj,
+                          np.zeros(400, np.int32), 1, n_pad=512,
+                          e_pads=[4096, 4096], g_pad=16)
+    assert token_window(g_a.flat.win_sd) and token_window(g_b.flat.win_sd)
+    u_a, u_b = unify_flat_windows([g_a.flat, g_b.flat])
+    assert token_window(u_b.win_sd) in (32, 64, 128)
+    grown = g_b if u_b.sd_rank.shape[0] > g_b.flat.sd_rank.shape[0] else g_a
+    u_grown = u_b if grown is g_b else u_a
+    assert u_grown.sd_rank.shape[0] > grown.flat.sd_rank.shape[0]
+    g_uni = grown._replace(flat=u_grown)
+
+    d = 64
+    params = rgin_init(jax.random.PRNGKey(2), 2, d,
+                       use_target_state_as_input=False)
+    h = jnp.asarray(rng.randn(grown.n_pad, d).astype(np.float32))
+
+    def loss(graph):
+        def f(p, hh):
+            out = rgin_apply(p, graph, hh,
+                             use_target_state_as_input=False,
+                             typed_edge_scan="auto")
+            return jnp.sum((out * graph.node_mask[:, None]) ** 2)
+        return f
+
+    g_pre = jax.grad(loss(grown), argnums=(0, 1))(params, h)
+    g_post = jax.grad(loss(g_uni), argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pre),
+                    jax.tree_util.tree_leaves(g_post)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
